@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Classifiers, FeaturePipeline, Recsys}
+
+/** ML-layer queries (SURVEY.md §2.9). Vector-typed / model outputs are not
+  * SQL-expressible, so these carry no oracle (the contract's rows-only
+  * check, `SparkEntry.scala:10-11`); exact-metric coverage lives in the
+  * ScalaTest suite. Inputs are derived deterministically from the
+  * fixtures; all seeds pinned.
+  */
+object MlQueries {
+
+  /** Labeled frame for the classifier family: predict whether a line ships
+    * a large quantity from price-ish numerics — the reference's
+    * "discretize then classify" shape (`bgrfunctions.py:22-24` + fmclas).
+    * Bounded sample so the bench measures the engine, not grid-search
+    * hours (the reference's own runs took 1–5 h per model, BASELINE.md). */
+  private def labeled(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"),
+      col("p_size"))
+    val df = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .withColumn("buckets", when(col("l_quantity") < 25, 0.0).otherwise(1.0))
+    val bounded = df.orderBy("l_partkey", "l_quantity", "l_extendedprice")
+      .limit(50000)
+    FeaturePipeline.assembleAndScale(bounded,
+      Seq("l_extendedprice", "l_discount", "l_tax", "p_retailprice", "p_size"))
+  }
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- M7+M8: ALS + top-k recommendations (flagship) ------------------
+    GQuery("qml50_als_topk",
+      (s, d) => {
+        val fit = Recsys.fitAls(Tables.ratings(s, d), "user_id", "item_id",
+          "rating", rank = 8, regParam = 0.1, maxIter = 5)
+        Recsys.recommendTopK(fit.model, k = 5)
+          .orderBy("user_id", "rank")
+      },
+      None,
+      doc = "reference als.py end-to-end: ALS fit + recommendForAllUsers + explode/round"),
+
+    // ---- M1–M6 feature pipeline -----------------------------------------
+    GQuery("qml51_feature_pipeline",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val indexed = FeaturePipeline.indexAndOneHot(c, Seq("c_mktsegment"))
+        val scaled = FeaturePipeline.assembleAndScale(indexed,
+          Seq("c_acctbal", "c_nationkey"))
+        scaled.select(col("c_custkey"), col("c_mktsegment_idx"),
+            col("c_mktsegment_vec").cast("string").as("onehot"),
+            col("scaled_features").cast("string").as("scaled"))
+          .orderBy("c_custkey")
+      },
+      None,
+      doc = "StringIndexer→OneHotEncoder→VectorAssembler→MinMaxScaler (reference fmreg.py:20-37)"),
+
+    // ---- M5 PCA over embeddings -----------------------------------------
+    GQuery("qml52_pca",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(
+            col("embedding").cast("array<double>")))
+        FeaturePipeline.pca(e, "features", "pca_features", k = 8)
+          .select(col("vec_id"), col("pca_features").cast("string").as("pca"))
+          .orderBy("vec_id")
+      },
+      None,
+      doc = "PCA k=8 over the embedding column (reference bgrfunctions.py:172-177, k=15)"),
+
+    // ---- M9–M13 classifier family metrics -------------------------------
+    GQuery("qml53_classifiers",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val df = labeled(s, d)
+        Seq(
+          Classifiers.logistic(df, "scaled_features", "buckets"),
+          Classifiers.decisionTree(df, "scaled_features", "buckets"),
+          Classifiers.randomForest(df, "scaled_features", "buckets", numTrees = 10)
+        ).toDF().orderBy("model")
+      },
+      None,
+      doc = "LR / DT / RF through the TrainValidationSplit grid harness (reference bgrfunctions.py:271-366)"),
+
+    // ---- M9 FM regression -----------------------------------------------
+    GQuery("qml54_fmreg",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val df = labeled(s, d)
+        Seq(Classifiers.fmRegression(df, "scaled_features", "l_quantity",
+          maxIter = 10)).toDF()
+      },
+      None,
+      doc = "FMRegressor through TVS grid (reference bgrfunctions.py:204-236)")
+  )
+}

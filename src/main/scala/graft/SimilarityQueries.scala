@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Similarity search over the `embeddings` fixture: brute-force exact
+  * cosine as the correctness baseline, sign-LSH bucketed ANN as the scale
+  * path, plus embedding-cosine near-dup pairs.
+  *
+  * Oracle parity for floats: dot products and norms are computed with the
+  * same left-to-right index-order accumulation in both engines (Spark
+  * `aggregate` HOF vs DuckDB zipped `unnest`), scores are rounded to 6
+  * decimals, and thresholds / rank orderings apply to the *rounded* value.
+  */
+object SimilarityQueries {
+
+  /** Oracle CTEs: vectors as DOUBLE[], squared norms. */
+  private val VecCte =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |nrm AS (SELECT vec_id, (SELECT sum(x*x) FROM unnest(v) AS t(x)) AS n2
+      |        FROM e),""".stripMargin
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- brute-force exact cosine top-k ---------------------------------
+    GQuery("q34_knn_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 20)
+        Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 5)
+          .select("query_id", "neighbor_id", "score", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $VecCte
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+              |    round((SELECT sum(qx*xx)
+              |           FROM (SELECT unnest(q.v) AS qx, unnest(x.v) AS xx) z)
+              |          / (sqrt(nq.n2) * sqrt(nx.n2)), 6) AS score
+              |  FROM e q JOIN e x ON q.vec_id <> x.vec_id
+              |  JOIN nrm nq ON q.vec_id = nq.vec_id
+              |  JOIN nrm nx ON x.vec_id = nx.vec_id
+              |  WHERE q.vec_id < 20),
+              |ranked AS (SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+              |  FROM scored)
+              |SELECT query_id, neighbor_id, score, rank FROM ranked
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      doc = "exact ANN baseline: bounded query set broadcast against the corpus"),
+
+    // ---- embedding-cosine near-dup pairs --------------------------------
+    GQuery("q35_dedup_embedding",
+      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $VecCte
+              |p AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    round((SELECT sum(ax*bx)
+              |           FROM (SELECT unnest(a.v) AS ax, unnest(b.v) AS bx) z)
+              |          / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |  JOIN nrm na ON a.vec_id = na.vec_id
+              |  JOIN nrm nb ON b.vec_id = nb.vec_id)
+              |SELECT id_a, id_b, cos_sim FROM p
+              |WHERE cos_sim >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+      doc = "near-dup by embedding cosine; threshold on rounded score for engine parity"),
+
+    // ---- sign-LSH bucketed ANN (scale path) -----------------------------
+    GQuery("q36_knn_lsh",
+      (s, d) => Similarity.lshBucketedTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", dims = 64, nBits = 4, k = 3)
+        .select("bucket", "query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |proj AS (
+             |  SELECT vec_id, j,
+             |    (SELECT sum(v[i+1] * (((1103515245 * (j*64 + i) + 12345) % 2147483648)
+             |                          / 1073741824.0 - 1.0))
+             |     FROM range(0, 64) r(i)) AS p
+             |  FROM e, range(0, 4) t(j)),
+             |bk AS (SELECT vec_id,
+             |         CAST(sum((CASE WHEN p > 0 THEN 1 ELSE 0 END) * (2 ** j)) AS BIGINT) AS bucket
+             |       FROM proj GROUP BY 1),
+             |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+             |nrm AS (SELECT vec_id, (SELECT sum(x*x) FROM unnest(v) AS t(x)) AS n2 FROM eb),
+             |scored AS (
+             |  SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    round((SELECT sum(ax*bx)
+             |           FROM (SELECT unnest(a.v) AS ax, unnest(b.v) AS bx) z)
+             |          / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+             |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+             |  JOIN nrm na ON a.vec_id = na.vec_id
+             |  JOIN nrm nb ON b.vec_id = nb.vec_id),
+             |ranked AS (SELECT *, CAST(row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+             |  FROM scored)
+             |SELECT bucket, query_id, neighbor_id, score, rank FROM ranked
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+      doc = "sign-LSH buckets (row-local LCG hyperplanes) shrink the candidate set; exact rescoring inside buckets")
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture table loaders.
+  *
+  * Mirrors the reference's ingest surface (SURVEY.md §2.1 S1–S4): the
+  * reference reads CSV with `inferSchema=True, header=True`
+  * (`PySpark Scripts/datacleaning.py:26`, `PySpark Scripts/als.py:21-22`);
+  * the engine's primary path is parquet (columnar, footer schema, row-group
+  * pruning) because at 100 TB CSV ingest is a one-time conversion, not a
+  * query-time format. A CSV variant with both inferred and explicit schema
+  * is kept for parity (see [[Sources]]).
+  *
+  * All loaders are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown freedom: column pruning and predicate pushdown reach the scan
+  * (verify with `.explain("formatted")` → `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The reference's fact table is `(BGGId, Rating, Username)`
+    * (`user_ratings.csv`, reference `PySpark Scripts/als.py:21`). The
+    * fixtures have no ratings table, so the ML layer derives an
+    * interactions table from the star schema: customer × part with the
+    * line quantity as implicit rating. Deterministic, scales with sf.
+    */
+  def ratings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity")
+    val o  = orders(s, d).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(round(avg(col("l_quantity")) / 5.0, 1).as("rating"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregation over the `events` fixture (SURVEY.md §2.8).
+  * Batch-first: `window($"ts", ...)` is a plain expression, so the same
+  * logic runs under Structured Streaming with a watermark (see
+  * [[graft.streaming.StreamingWindows]]); the batch form is what the
+  * DuckDB oracle checks. Window starts are emitted as epoch seconds —
+  * never raw timestamps — for cross-engine parity.
+  */
+object WindowQueries {
+
+  val all: Seq[GQuery] = Seq(
+
+    // ---- tumbling 1h window --------------------------------------------
+    GQuery("q27_window_tumbling",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
+        .select(unix_timestamp(col("w.start")).as("w_start"),
+          col("event_type"), col("n"), col("sum_value_cents"))
+        .orderBy("w_start", "event_type"),
+      Some("""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS w_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "tumbling window; streaming-ready (same expr under readStream+watermark)"),
+
+    // ---- sliding 1h window, 30min slide ---------------------------------
+    GQuery("q28_window_sliding",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("w_start"), col("n"))
+        .orderBy("w_start"),
+      // each event belongs to 2 sliding windows: starts at
+      // floor(t/1800)*1800 and that minus 1800 — replicated via unnest
+      Some("""SELECT w_start, count(*) AS n FROM (
+             |  SELECT CAST(floor(epoch(ts)/1800)*1800 - off AS BIGINT) AS w_start
+             |  FROM events, (SELECT unnest([0, 1800]) AS off))
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "sliding window: Spark window(ts,'1 hour','30 minutes'); oracle expands the 2 covering windows"),
+
+    // ---- session-less per-user hourly activity (fact for streaming spec)
+    GQuery("q29_user_hourly",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_timestamp(col("h")).as("h_epoch"),
+          col("n_events"))
+        .orderBy("user_id", "h_epoch"),
+      Some("""SELECT user_id,
+             |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h_epoch,
+             |  count(*) AS n_events
+             |FROM events WHERE event_type IN ('click', 'purchase')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "per-key windowed agg — the mapGroupsWithState-shaped workload, batch-checked")
+  )
+}

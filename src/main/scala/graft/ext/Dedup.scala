@@ -1,0 +1,139 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is a single hash shuffle on a 128-bit digest — never on
+  *    the raw text (shuffle bytes = 16B/row + id);
+  *  - shingling / hashing / signatures are row-local (explode + HOF, no
+  *    shuffle until the band-bucket groupBy);
+  *  - LSH candidate generation shuffles (band, bucket) keys only; bucket
+  *    size is capped (`maxBucketSize`) so a degenerate bucket (all-equal
+  *    docs, boilerplate) cannot produce a quadratic pair explosion;
+  *  - the *oracle-parity* shingle-id path uses a sorted dictionary (exact
+  *    cross-engine determinism); the *production* path keys shingles by
+  *    `xxhash64`, which needs no global dictionary and no sort — switch
+  *    with `useDictionaryIds=false`.
+  */
+object Dedup {
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** Exact dedup: survivor = min(id) per content digest. One shuffle on a
+    * 128-bit md5 (raw text stays at the mappers). */
+  def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(lower(col(textCol))).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles, row-local (split + HOF slide, no
+    * shuffle). Output: (idCol, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))).as("shingle"))
+      .filter(size(split(col("shingle"), " ")) === n)
+      .distinct()
+  }
+
+  /** Pairwise Jaccard over shingle sets: inverted-index self-join on the
+    * shingle, count common, |A∪B| = |A|+|B|−common. The join key is the
+    * shingle (or its hash at scale); per-shingle fan-out is the classic
+    * LSH-free hazard — use [[minhashCandidates]] when pair counts explode.
+    * Output: (id_a, id_b, common, n_a, n_b) with id_a < id_b. */
+  def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+  }
+
+  /** Shingle → integer id. Dictionary path: rank-by-sort (deterministic in
+    * any engine → DuckDB-checkable). Production path: xxhash64 (row-local,
+    * no global sort; collisions negligible at 2^-64). */
+  def shingleIds(sh: DataFrame, useDictionaryIds: Boolean): DataFrame =
+    if (useDictionaryIds) {
+      val dict = sh.select("shingle").distinct()
+        .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+      sh.join(dict, Seq("shingle"))
+    } else sh.withColumn("sid", xxhash64(col("shingle")))
+
+  /** MinHash signatures with `numHashes` affine hashes
+    * h_i(x) = (a_i·x + b_i) mod p, banded `numHashes/rowsPerBand` ways.
+    * a_i/b_i derive from i by a fixed formula (no RNG → reproducible and
+    * oracle-replicable). Output: (id, band, bucket) — one row per doc per
+    * band; `bucket` is the joined band-signature string. */
+  def minhashBuckets(shIds: DataFrame, idCol: String, numHashes: Int,
+                     rowsPerBand: Int): DataFrame = {
+    val hp = shIds.sparkSession.range(numHashes)
+      .select(col("id").cast("int").as("i"))
+      .withColumn("a", (col("i") + 1) * lit(387420489L) % MinhashPrime)
+      .withColumn("b", ((col("i") + 1) * lit(1299709L) + 104729L) % MinhashPrime)
+    shIds.crossJoin(broadcast(hp))
+      .groupBy(col(idCol), col("i"))
+      .agg(min((col("a") * col("sid") + col("b")) % MinhashPrime).as("mh"))
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string")), "_").as("bucket"))
+  }
+
+  /** LSH candidate pairs: docs sharing any (band, bucket). Buckets larger
+    * than `maxBucketSize` are dropped (boilerplate guard — at 100 TB a
+    * single all-identical-header bucket would otherwise emit O(n²) pairs). */
+  def minhashCandidates(buckets: DataFrame, idCol: String,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val sized = buckets.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
+    val b = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** 16-bit SimHash from per-doc distinct token ids: bit b of token t is
+    * bit b of (t·2654435761); the signature bit is the sign of the summed
+    * ±1 votes. Everything is integer arithmetic → engine-agnostic. */
+  def simhash(tokIds: DataFrame, idCol: String, bits: Int = 16): DataFrame = {
+    val votes = tokIds
+      .crossJoin(broadcast(tokIds.sparkSession.range(bits)
+        .select(col("id").cast("int").as("b"))))
+      .withColumn("vote",
+        when(expr("((sid * 2654435761) >> b) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("v"))
+    votes.withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(expr("bit << b")).as("simhash"))
+  }
+
+  /** Pairs within `maxHamming` of each other (brute-force verify step; the
+    * scale path prefilters with [[minhashCandidates]]-style banding over
+    * simhash segments). */
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame =
+    sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      .crossJoin(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+}

@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.RelationalOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the standard ANN playbook:
+  *  - [[cosineTopK]] — brute-force exact top-k: O(n·m) pair scores. The
+  *    correctness baseline; at 100 TB it is only viable for a bounded
+  *    query set against a broadcastable index shard.
+  *  - [[lshBucketedTopK]] — sign-random-projection LSH: each vector gets a
+  *    small integer bucket from the signs of deterministic pseudo-random
+  *    projections (row-local, no shuffle), then exact scoring runs only
+  *    within buckets — the shuffle carries bucket keys, and candidate
+  *    count drops from n·m to Σ|bucket|². Projections use an integer LCG
+  *    for the weights, so the oracle can replicate them exactly.
+  *
+  * All dot products run in double (`aggregate`/`zip_with` higher-order
+  * functions — codegen-friendly, element order = index order, which keeps
+  * float accumulation bit-identical to the DuckDB oracle's zipped unnest).
+  */
+object Similarity {
+
+  /** dot(a, b) in double via HOFs; `a`,`b` are array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cos(a, b) = dot / (|a|·|b|) — computed with the exact same operation
+    * order as the oracle SQL. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force exact cosine top-k neighbors for each query vector.
+    * @param queries  (idCol, vecCol) — the bounded query side (broadcast)
+    * @param index    (idCol, vecCol) — the searched corpus
+    */
+  def cosineTopK(queries: DataFrame, index: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val x = index.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("xv"))
+    val scored = x.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("xv")), 6))
+      .select("query_id", "neighbor_id", "score")
+    RelationalOps.topKPerGroup(scored,
+      part = Seq(col("query_id")),
+      order = Seq(col("score").desc, col("neighbor_id").asc),
+      k = k, rankCol = "rank")
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
+    * Threshold compares the *rounded* score so the cut is reproducible
+    * across engines. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val a = e.select(col(idCol).as("id_a"), col("v").as("va"))
+    val b = e.select(col(idCol).as("id_b"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** ANN: exact cosine top-k, but only within sign-LSH buckets. Recall is
+    * tunable via nBits (fewer bits → bigger buckets → higher recall). */
+  def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
+                      dims: Int, nBits: Int, k: Int): DataFrame = {
+    val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucketInt(col("v"), dims, nBits))
+    val a = e.select(col("bucket"), col(idCol).as("query_id"), col("v").as("qv"))
+    val b = e.select(col("bucket"), col(idCol).as("neighbor_id"), col("v").as("xv"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("qv"), col("xv")), 6))
+      .select("bucket", "query_id", "neighbor_id", "score")
+    RelationalOps.topKPerGroup(scored,
+      part = Seq(col("query_id")),
+      order = Seq(col("score").desc, col("neighbor_id").asc),
+      k = k, rankCol = "rank")
+  }
+
+  /** Sign-LSH bucket = Σ_j (proj_j > 0) · 2^j, from `nBits` deterministic
+    * hyperplanes. Weight for (plane j, dim i) is an LCG value in [−1, 1):
+    * w(j,i) = ((1103515245·(j·dims+i) + 12345) mod 2^31) / 2^30 − 1.
+    * Row-local (HOFs only) → no shuffle; the LCG keeps it oracle-replicable. */
+  def lshBucketInt(vec: Column, dims: Int, nBits: Int): Column = {
+    val js = sequence(lit(0), lit(nBits - 1))
+    val bits = transform(js, j => {
+      val prods = zip_with(vec,
+        sequence(lit(0), lit(dims - 1)),
+        (x, i) => x * (((lit(1103515245L) * (j * dims + i) + 12345L) % 2147483648L)
+          .cast("double") / 1073741824.0 - 1.0))
+      when(aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0, lit(1L))
+        .otherwise(lit(0L))
+    })
+    aggregate(zip_with(bits, js, (b, j) => b * pow(lit(2.0), j).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for training-data pipelines: tokenization /
+  * token counting, quality scoring, marker-based language ID, and
+  * positional fingerprinting. All row-local (codegen'd built-ins — no
+  * UDFs, no shuffle except where a global dictionary is requested), and
+  * free of transcendental functions so every score is bit-reproducible in
+  * the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation count: runs of letters, runs of digits,
+    * or single other non-space chars — the standard pre-tokenizer shape. */
+  def bpeishCount(text: Column): Column =
+    size(call_function("regexp_extract_all", text,
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Marker word lists per language (tiny n-gram-heuristic language ID:
+    * score = #tokens found in each language's marker list, argmax wins,
+    * fixed tie-break order en>fr>es>de, all-zero → 'und'). */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une"),
+    "es" -> Seq("el", "los", "las", "de", "y", "uno", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "zu"))
+
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Language prediction column from marker scores. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = Markers.map { case (l, ms) => l -> markerScore(toks, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && s > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1] from length / stopword ratio / punctuation
+    * ratio. Linear (no exp/log) → bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio = markerScore(toks, Markers.head._2).cast("double") / n
+    val alnumSpace = regexp_replace(text, "[^a-z0-9 ]", "")
+    val punctRatio =
+      (length(text) - length(alnumSpace)).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+    round(lit(0.5) * stopRatio
+      + lit(0.3) * least(n, lit(100.0)) / 100.0
+      + lit(0.2) * (lit(1.0) - punctRatio), 6)
+  }
+
+  /** Global token dictionary (token → dense id by sorted rank). The
+    * dictionary is the oracle-parity path; production uses xxhash64 per
+    * token and skips the global sort. */
+  def tokenDict(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+
+  /** Positional fingerprint: Σ (pos+1)·token_id mod p, plus token count.
+    * A rolling-hash-style content fingerprint that is order-sensitive
+    * (swapped tokens change it) yet engine-agnostic (pure int64 math). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dict = tokenDict(df, textCol)
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .join(dict, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg((sum((col("pos") + 1) * col("tid")) % Dedup.MinhashPrime)
+          .as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+  }
+}

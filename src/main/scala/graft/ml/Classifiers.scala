@@ -1,0 +1,142 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{DecisionTreeClassifier,
+  FMClassifier, LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator,
+  MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.regression.FMRegressor
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's five model pipelines behind one TrainValidationSplit
+  * grid harness (SURVEY.md §2.9 M9–M18, reference
+  * `bgrfunctions.py:204-366`). Differences from the reference are
+  * deliberate fixes (SURVEY §2.11): splits are seeded, classifier ROC is
+  * computed on real raw scores (the reference passed hard 0/1 predictions
+  * → degenerate ROC ≈ 0.5), tree `minInfoGain` grids are satisfiable (the
+  * reference's ≥20 rejected every split), and the training frame is
+  * persisted before multi-pass fits.
+  */
+object Classifiers {
+
+  final case class EvalResult(model: String, metric1: String, value1: Double,
+                              metric2: String, value2: Double)
+
+  /** M14 — TrainValidationSplit over a param grid, the reference's tuning
+    * harness everywhere (`bgrfunctions.py:186-193` etc.), trainRatio 0.8. */
+  def tvsGrid[M <: Model[M]](est: Estimator[M], grid: Array[ParamMap],
+                             evaluator: org.apache.spark.ml.evaluation.Evaluator,
+                             train: DataFrame): M = {
+    val tvs = new TrainValidationSplit()
+      .setEstimator(est).setEstimatorParamMaps(grid)
+      .setEvaluator(evaluator).setTrainRatio(0.8).setSeed(42L)
+    tvs.fit(train).bestModel.asInstanceOf[M]
+  }
+
+  private def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val Array(tr, te) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
+    (tr, te)
+  }
+
+  /** M9 — FMRegressor (reference `bgrfunctions.py:204-236`; grid
+    * stepSize×factorSize). */
+  def fmRegression(df: DataFrame, featuresCol: String, labelCol: String,
+                   maxIter: Int = 20): EvalResult = {
+    val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val (tr, te) = split(persisted)
+    val fm = new FMRegressor().setFeaturesCol(featuresCol)
+      .setLabelCol(labelCol).setSeed(1L).setMaxIter(maxIter)
+    val grid = new ParamGridBuilder()
+      .addGrid(fm.stepSize, Array(0.1, 0.01))
+      .addGrid(fm.factorSize, Array(1, 2)).build()
+    val ev = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+    val best = tvsGrid(fm, grid, ev, tr)
+    val pred = best.transform(te)
+    val r2 = new RegressionEvaluator().setMetricName("r2")
+      .setLabelCol(labelCol).setPredictionCol("prediction").evaluate(pred)
+    persisted.unpersist()
+    EvalResult("fm_regressor", "rmse", ev.evaluate(pred), "r2", r2)
+  }
+
+  private def classifierMetrics(pred: DataFrame, labelCol: String,
+                                name: String): EvalResult = {
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").setLabelCol(labelCol)
+      .setPredictionCol("prediction").evaluate(pred)
+    // real ROC from rawPrediction — the reference's rawPredictionCol=
+    // "prediction" quirk (SURVEY §2.9 M18) is intentionally NOT replicated
+    val roc = new BinaryClassificationEvaluator()
+      .setMetricName("areaUnderROC").setLabelCol(labelCol)
+      .setRawPredictionCol("rawPrediction").evaluate(pred)
+    EvalResult(name, "accuracy", acc, "roc_auc", roc)
+  }
+
+  /** M10 — FMClassifier (reference `bgrfunctions.py:238-269`). */
+  def fmClassification(df: DataFrame, featuresCol: String, labelCol: String,
+                       maxIter: Int = 20): EvalResult = {
+    val (tr, te) = split(df)
+    val fm = new FMClassifier().setFeaturesCol(featuresCol)
+      .setLabelCol(labelCol).setSeed(1L).setMaxIter(maxIter)
+    val grid = new ParamGridBuilder()
+      .addGrid(fm.stepSize, Array(0.1, 0.01)).build()
+    val ev = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").setLabelCol(labelCol)
+      .setPredictionCol("prediction")
+    classifierMetrics(tvsGrid(fm, grid, ev, tr).transform(te), labelCol,
+      "fm_classifier")
+  }
+
+  /** M11 — LogisticRegression (reference `bgrfunctions.py:271-303`; grid
+    * regParam×maxIter). */
+  def logistic(df: DataFrame, featuresCol: String, labelCol: String): EvalResult = {
+    val (tr, te) = split(df)
+    val lr = new LogisticRegression().setFeaturesCol(featuresCol)
+      .setLabelCol(labelCol)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.1, 0.01))
+      .addGrid(lr.maxIter, Array(50, 100)).build()
+    val ev = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").setLabelCol(labelCol)
+      .setPredictionCol("prediction")
+    classifierMetrics(tvsGrid(lr, grid, ev, tr).transform(te), labelCol,
+      "logistic_regression")
+  }
+
+  /** M12 — DecisionTreeClassifier. The reference's grid
+    * (minInfoGain∈{20,30}) is unsatisfiable — binary-label impurity gain
+    * is ≤ 1 — producing depth-0 majority trees (SURVEY §2.9 M12); the
+    * engine's grid is satisfiable. */
+  def decisionTree(df: DataFrame, featuresCol: String, labelCol: String): EvalResult = {
+    val (tr, te) = split(df)
+    val dt = new DecisionTreeClassifier().setFeaturesCol(featuresCol)
+      .setLabelCol(labelCol).setSeed(1L)
+    val grid = new ParamGridBuilder()
+      .addGrid(dt.maxDepth, Array(5, 10))
+      .addGrid(dt.minInfoGain, Array(0.0, 0.01)).build()
+    val ev = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").setLabelCol(labelCol)
+      .setPredictionCol("prediction")
+    classifierMetrics(tvsGrid(dt, grid, ev, tr).transform(te), labelCol,
+      "decision_tree")
+  }
+
+  /** M13 — RandomForestClassifier (reference `bgrfunctions.py:337-366`,
+    * numTrees=30). */
+  def randomForest(df: DataFrame, featuresCol: String, labelCol: String,
+                   numTrees: Int = 30): EvalResult = {
+    val (tr, te) = split(df)
+    val rf = new RandomForestClassifier().setFeaturesCol(featuresCol)
+      .setLabelCol(labelCol).setSeed(1L).setNumTrees(numTrees)
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.maxDepth, Array(5, 10)).build()
+    val ev = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").setLabelCol(labelCol)
+      .setPredictionCol("prediction")
+    classifierMetrics(tvsGrid(rf, grid, ev, tr).transform(te), labelCol,
+      "random_forest")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.{MinMaxScaler, OneHotEncoder, PCA,
+  StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+
+/** The reference's feature pipeline (SURVEY.md §2.9 M1–M6), composed from
+  * `org.apache.spark.ml`: StringIndexer (frequency-desc dictionary) →
+  * OneHotEncoder (sparse) → VectorAssembler → MinMaxScaler → PCA.
+  * Mirrors reference `PySpark Scripts/fmreg.py:20-39` /
+  * `bgrfunctions.py:143-177`; all stages deterministic given fixed input.
+  */
+object FeaturePipeline {
+
+  /** M1: index a string column by descending frequency (index 0 = most
+    * frequent, reference PDF §3). */
+  def indexString(df: DataFrame, in: String, out: String): DataFrame =
+    new StringIndexer().setInputCol(in).setOutputCol(out)
+      .setStringOrderType("frequencyDesc").setHandleInvalid("skip")
+      .fit(df).transform(df)
+
+  /** M1+M2: index + one-hot encode id columns to sparse vectors
+    * (reference `fmreg.py:20-24`). */
+  def indexAndOneHot(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val indexers = cols.map(c => new StringIndexer()
+      .setInputCol(c).setOutputCol(s"${c}_idx")
+      .setStringOrderType("frequencyDesc").setHandleInvalid("skip"))
+    val ohe = new OneHotEncoder()
+      .setInputCols(cols.map(c => s"${c}_idx").toArray)
+      .setOutputCols(cols.map(c => s"${c}_vec").toArray)
+    new Pipeline().setStages((indexers :+ ohe).toArray).fit(df).transform(df)
+  }
+
+  /** M3+M4: assemble numeric columns and scale to [0,1]
+    * (reference `fmreg.py:32-37`). */
+  def assembleAndScale(df: DataFrame, inputCols: Seq[String],
+                       out: String = "scaled_features"): DataFrame = {
+    val assembler = new VectorAssembler()
+      .setInputCols(inputCols.toArray).setOutputCol("features_raw")
+    val scaler = new MinMaxScaler()
+      .setInputCol("features_raw").setOutputCol(out)
+    new Pipeline().setStages(Array(assembler, scaler)).fit(df).transform(df)
+  }
+
+  /** M5: PCA projection (reference `bgrfunctions.py:172-177`, k=15 in v2). */
+  def pca(df: DataFrame, in: String, out: String, k: Int): DataFrame =
+    new PCA().setInputCol(in).setOutputCol(out).setK(k)
+      .fit(df).transform(df)
+}

@@ -1,0 +1,53 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** ALS collaborative filtering — the reference's flagship pipeline
+  * (SURVEY.md §2.9 M7–M8, reference `PySpark Scripts/als.py` +
+  * `bgrfunctions.py:179-201`). Parameters mirror the reference
+  * (`coldStartStrategy='drop', maxIter, seed=1`); unlike the reference,
+  * every random split is seeded (its `randomSplit` was unseeded — SURVEY
+  * §2.9 M19) and the training input is persisted before the iterative fit
+  * so the lineage is not recomputed per iteration sweep.
+  */
+object Recsys {
+
+  final case class FitResult(model: ALSModel, rmse: Double, r2: Double)
+
+  /** Train ALS with held-out metrics (reference `als_prediction`,
+    * `bgrfunctions.py:179-201`, grid collapsed to one point for bench
+    * sanity — the TVS grid harness lives in [[Classifiers.tvsGrid]]). */
+  def fitAls(ratings: DataFrame, userCol: String, itemCol: String,
+             ratingCol: String, rank: Int = 8, regParam: Double = 0.1,
+             maxIter: Int = 5, seed: Long = 1L): FitResult = {
+    val persisted = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val als = new ALS()
+      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setColdStartStrategy("drop")
+      .setRank(rank).setRegParam(regParam).setMaxIter(maxIter).setSeed(seed)
+    val model = als.fit(train)
+    val pred = model.transform(test)
+    def eval(metric: String): Double = new RegressionEvaluator()
+      .setMetricName(metric).setLabelCol(ratingCol)
+      .setPredictionCol("prediction").evaluate(pred)
+    val res = FitResult(model, eval("rmse"), eval("r2"))
+    persisted.unpersist()
+    res
+  }
+
+  /** Top-k recommendations per user, exploded and rounded — the
+    * reference's presentation shape (`als.py:44-50`: recommendForAllUsers
+    * → explode → select rec.* → round). */
+  def recommendTopK(model: ALSModel, k: Int): DataFrame =
+    model.recommendForAllUsers(k)
+      .select(col("user_id"), posexplode(col("recommendations"))
+        .as(Seq("rank0", "rec")))
+      .select(col("user_id"), (col("rank0") + 1).as("rank"),
+        col("rec.item_id").as("item_id"),
+        round(col("rec.rating"), 4).as("score"))
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's relational operator surface, re-expressed as reusable
+  * Spark-native combinators (SURVEY.md §2.2–§2.5). Everything is
+  * declarative DataFrame API so Catalyst keeps pushdown / pruning /
+  * join-strategy freedom; nothing collects to the driver except bounded
+  * scalar aggregates that feed broadcast joins.
+  */
+object RelationalOps {
+
+  /** J1 — "trim low-importance elements", the reference's most distinctive
+    * relational op (reference `PySpark Scripts/bgrfunctions.py:43-53`):
+    * keep fact rows whose `keyA` group has > minA rows AND whose `keyB`
+    * group has > minB rows. Single pass (not a fixpoint), exactly like the
+    * reference.
+    *
+    * Scale: the two aggregated sides carry one row per distinct key —
+    * orders of magnitude smaller than the fact — so both semi joins are
+    * broadcast-eligible; AQE picks broadcast-hash from runtime stats. At
+    * 100 TB the fact never shuffles: two scans produce tiny dictionaries,
+    * then two broadcast semi joins stream map-side.
+    */
+  def trimLowImportance(fact: DataFrame, keyA: String, minA: Long,
+                        keyB: String, minB: Long): DataFrame = {
+    val popularA = fact.groupBy(keyA).count().filter(col("count") > minA)
+    val popularB = fact.groupBy(keyB).count().filter(col("count") > minB)
+    fact
+      .join(broadcast(popularA.select(keyA)), Seq(keyA), "left_semi")
+      .join(broadcast(popularB.select(keyB)), Seq(keyB), "left_semi")
+  }
+
+  /** P8 — CASE WHEN discretization (reference `bgrfunctions.py:22-24`:
+    * `when(Rating < 4, 0.0).otherwise(1.0)`). */
+  def discretize(df: DataFrame, c: String, threshold: Double,
+                 out: String): DataFrame =
+    df.withColumn(out, when(col(c) < threshold, 0.0).otherwise(1.0))
+
+  /** A6 + P7 — IQR outlier fences (reference `bgrfunctions.py:369-393`):
+    * per column, Q1/Q3 via *exact* percentile, IQR = Q3−Q1, keep rows in
+    * (Q1−IQR, Q3+IQR). The reference computes fences driver-side in
+    * pandas; here they stay in the plan as a 1-row aggregate cross-joined
+    * (broadcast) into the filter, so the fact table streams once and the
+    * plan survives any scale.
+    */
+  def removeOutliersIqr(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(percentile(col(c), lit(0.25)).as(s"${c}_q1"),
+          percentile(col(c), lit(0.75)).as(s"${c}_q3"))
+    }
+    val fences = df.agg(aggs.head, aggs.tail: _*)
+    val withFences = df.crossJoin(broadcast(fences))
+    val keep = cols.map { c =>
+      val iqr = col(s"${c}_q3") - col(s"${c}_q1")
+      col(c) > (col(s"${c}_q1") - iqr) && col(c) < (col(s"${c}_q3") + iqr)
+    }.reduce(_ && _)
+    withFences.filter(keep).drop(cols.flatMap(c =>
+      Seq(s"${c}_q1", s"${c}_q3")): _*)
+  }
+
+  /** A11 — min-max scaling of one column to [0,1], relational analog of
+    * `ml.feature.MinMaxScaler` (reference `fmreg.py:35-37`). The 1-row
+    * min/max aggregate is broadcast; no shuffle of the fact side. */
+  def minMaxScale(df: DataFrame, c: String, out: String): DataFrame = {
+    val mm = df.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
+    df.crossJoin(broadcast(mm))
+      .withColumn(out, (col(c) - col("__mn")) / (col("__mx") - col("__mn")))
+      .drop("__mn", "__mx")
+  }
+
+  /** A7/P17 — mode with deterministic tie-break (smallest value wins),
+    * reference `bgrfunctions.py:27-32` (pandas groupby→size→sort→first).
+    * One hash aggregation + a 1-row sort — scale-safe. */
+  def modeOf(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).count()
+      .orderBy(col("count").desc, col(c).asc)
+      .limit(1)
+
+  /** M1 relational analog — frequency-ranked dictionary like StringIndexer
+    * (reference `bgrfunctions.py:151-160`): most frequent value → index 0;
+    * ties broken by value ascending (deterministic, unlike raw
+    * StringIndexer). */
+  def frequencyIndex(df: DataFrame, c: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col(c).asc)
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .withColumn("idx", row_number().over(w).cast("long") - 1)
+  }
+
+  /** W4 — grouped top-k via ranked window; Spark 4's WindowGroupLimit rule
+    * pushes the `rn <= k` predicate into the window exec, so only k rows
+    * per group survive the shuffle (no full per-group sort materialized).
+    * Relational analog of `recommendForAllUsers(10)`
+    * (reference `als.py:44-47`). */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                   k: Int, rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}
