@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line (driver contract). local[N] with N-sized shuffle
   * partitioning and AQE — the same knobs a cluster deploy would set per
   * executor count.
+  *
+  * Honesty rules (round-2 fixes):
+  *  - the action is a `noop`-format write, not `count()` — a count lets
+  *    Catalyst prune every unreferenced projection, so pure-projection
+  *    queries would be "benchmarked" without computing their outputs;
+  *  - a query that throws is recorded as value -1 and listed in an
+  *    `errors` field — a failure is never disguised as a fast pass.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,17 +30,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = QueryRegistry.all.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch {
+      val err: Option[String] = try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        None
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          -1L
+          System.err.println(s"[bench] ${q.name} FAILED: $e")
+          Some(e.getClass.getSimpleName)
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      (q.name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val nFailed = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -134,7 +134,9 @@ object CleaningQueries {
              |           FROM customer)
              |SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
              |FROM customer, q
-             |WHERE c_acctbal > q1 - (q3 - q1) AND c_acctbal < q3 + (q3 - q1)
+             |WHERE CASE WHEN q3 = q1
+             |  THEN c_acctbal >= q1 - (q3 - q1) AND c_acctbal <= q3 + (q3 - q1)
+             |  ELSE c_acctbal > q1 - (q3 - q1) AND c_acctbal < q3 + (q3 - q1) END
              |ORDER BY c_custkey""".stripMargin),
       doc = "reference bgrfunctions.py:369-393 remove_outliers on a real column")
   )

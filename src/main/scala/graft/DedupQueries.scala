@@ -31,15 +31,18 @@ object DedupQueries {
     GQuery("q31_dedup_jaccard",
       (s, d) => {
         val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
-        Dedup.jaccardPairs(sh, "doc_id")
+        Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000L)
           .filter(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $ShinglesCte
               |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
               |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+              |          FROM shf a JOIN shf b ON a.shingle = b.shingle
               |            AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2)
               |SELECT id_a, id_b,
@@ -49,7 +52,7 @@ object DedupQueries {
               |JOIN sizes nb ON id_b = nb.doc_id
               |WHERE c*1.0/(na.n + nb.n - c) >= 0.5
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "inverted-index self-join on shingles; LSH replaces it when fan-out explodes"),
+      doc = "inverted-index self-join with a max-document-frequency stop-shingle cap (df ≤ 1000); true set sizes keep Jaccard honest"),
 
     // ---- MinHash + LSH banding ------------------------------------------
     GQuery("q32_dedup_minhash",

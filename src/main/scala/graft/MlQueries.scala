@@ -18,14 +18,17 @@ object MlQueries {
     * hours (the reference's own runs took 1–5 h per model, BASELINE.md). */
   private def labeled(s: org.apache.spark.sql.SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"),
       col("p_size"))
     val df = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
       .withColumn("buckets", when(col("l_quantity") < 25, 0.0).otherwise(1.0))
-    val bounded = df.orderBy("l_partkey", "l_quantity", "l_extendedprice")
-      .limit(50000)
+    // (l_orderkey, l_linenumber) is a unique key → the sample under the
+    // limit is fully deterministic (TakeOrderedAndProject, no tie
+    // ambiguity), unlike an orderBy over non-unique columns
+    val bounded = df.orderBy("l_orderkey", "l_linenumber").limit(50000)
     FeaturePipeline.assembleAndScale(bounded,
       Seq("l_extendedprice", "l_discount", "l_tax", "p_retailprice", "p_size"))
   }
@@ -80,11 +83,13 @@ object MlQueries {
         Seq(
           Classifiers.logistic(df, "scaled_features", "buckets"),
           Classifiers.decisionTree(df, "scaled_features", "buckets"),
-          Classifiers.randomForest(df, "scaled_features", "buckets", numTrees = 10)
+          Classifiers.randomForest(df, "scaled_features", "buckets", numTrees = 10),
+          Classifiers.fmClassification(df, "scaled_features", "buckets",
+            maxIter = 10)
         ).toDF().orderBy("model")
       },
       None,
-      doc = "LR / DT / RF through the TrainValidationSplit grid harness (reference bgrfunctions.py:271-366)"),
+      doc = "LR / DT / RF / FMClassifier through the TrainValidationSplit grid harness (reference bgrfunctions.py:238-366)"),
 
     // ---- M9 FM regression -----------------------------------------------
     GQuery("qml54_fmreg",
@@ -96,6 +101,34 @@ object MlQueries {
           maxIter = 10)).toDF()
       },
       None,
-      doc = "FMRegressor through TVS grid (reference bgrfunctions.py:204-236)")
+      doc = "FMRegressor through TVS grid (reference bgrfunctions.py:204-236)"),
+
+    // ---- S5 model persistence: save → load → identical predictions ------
+    GQuery("qml55_model_io",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val df = labeled(s, d).persist()
+        val (fitted, reloaded) = Classifiers.saveLoadRoundtrip(df,
+          "scaled_features", "buckets",
+          s"${System.getProperty("java.io.tmpdir")}/graft_model_" +
+            d.replaceAll("[^A-Za-z0-9.]", "_"))
+        // prediction parity between the in-memory and reloaded model:
+        // every row must agree (n_diff = 0)
+        val a = fitted.transform(df)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("prediction").as("p1"))
+        val b = reloaded.transform(df)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("prediction").as("p2"))
+        val joined = a.join(b, Seq("l_orderkey", "l_linenumber"))
+        val out = joined.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_diff"))
+        df.unpersist()
+        out
+      },
+      None,
+      doc = "S5 MLWritable save + load roundtrip (reference bgrfunctions.py:228,262,298,328,360); loaded model must predict identically")
   )
 }

@@ -48,28 +48,45 @@ object SimilarityQueries {
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
       doc = "exact ANN baseline: bounded query set broadcast against the corpus"),
 
-    // ---- embedding-cosine near-dup pairs --------------------------------
+    // ---- embedding-cosine near-dup pairs (banded LSH + exact rescore) ---
     GQuery("q35_dedup_embedding",
-      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.45)
+      (s, d) => Similarity.cosinePairsLsh(Tables.embeddings(s, d), "vec_id",
+          "embedding", dims = 64, bands = 4, bitsPerBand = 4,
+          threshold = 0.45, maxBucketSize = 1000)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH $VecCte
-              |p AS (
-              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |    round((SELECT sum(ax*bx)
-              |           FROM (SELECT unnest(a.v) AS ax, unnest(b.v) AS bx) z)
-              |          / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
-              |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-              |  JOIN nrm na ON a.vec_id = na.vec_id
-              |  JOIN nrm nb ON b.vec_id = nb.vec_id)
-              |SELECT id_a, id_b, cos_sim FROM p
-              |WHERE cos_sim >= 0.45 ORDER BY id_a, id_b""".stripMargin),
-      doc = "near-dup by embedding cosine; threshold on rounded score for engine parity"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |proj AS (
+             |  SELECT vec_id, j,
+             |    (SELECT sum(v[i+1] * (((1103515245 * (j*64 + i) + 12345) % 2147483648)
+             |                          / 1073741824.0 - 1.0))
+             |     FROM range(0, 64) r(i)) AS p
+             |  FROM e, range(0, 16) t(j)),
+             |bk AS (SELECT vec_id, CAST(j // 4 AS INTEGER) AS band,
+             |         CAST(sum((CASE WHEN p > 0 THEN 1 ELSE 0 END) * (2 ** (j % 4))) AS BIGINT) AS bucket
+             |       FROM proj GROUP BY 1, 2),
+             |sized AS (SELECT band, bucket FROM bk GROUP BY 1, 2
+             |          HAVING count(*) > 1 AND count(*) <= 1000),
+             |b2 AS (SELECT bk.* FROM bk JOIN sized USING (band, bucket)),
+             |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             |         FROM b2 a JOIN b2 b ON a.band = b.band
+             |           AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             |nrm AS (SELECT vec_id, (SELECT sum(x*x) FROM unnest(v) AS t(x)) AS n2 FROM e),
+             |p AS (SELECT id_a, id_b,
+             |        round((SELECT sum(ax*bx)
+             |               FROM (SELECT unnest(ea.v) AS ax, unnest(eb.v) AS bx) z)
+             |              / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos_sim
+             |      FROM cand
+             |      JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+             |      JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id)
+             |SELECT id_a, id_b, cos_sim FROM p
+             |WHERE cos_sim >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+      doc = "near-dup by embedding cosine at scale: 4-band×4-bit sign-LSH candidates (bucket-capped) + exact rescoring; brute-force kept as cosinePairsBruteForce baseline"),
 
     // ---- sign-LSH bucketed ANN (scale path) -----------------------------
     GQuery("q36_knn_lsh",
       (s, d) => Similarity.lshBucketedTopK(Tables.embeddings(s, d),
-          "vec_id", "embedding", dims = 64, nBits = 4, k = 3)
+          "vec_id", "embedding", dims = 64, nBits = 4, k = 3,
+          maxBucketSize = 1000)
         .select("bucket", "query_id", "neighbor_id", "score", "rank")
         .orderBy("query_id", "rank"),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -82,7 +99,10 @@ object SimilarityQueries {
              |bk AS (SELECT vec_id,
              |         CAST(sum((CASE WHEN p > 0 THEN 1 ELSE 0 END) * (2 ** j)) AS BIGINT) AS bucket
              |       FROM proj GROUP BY 1),
-             |eb AS (SELECT e.vec_id, v, bucket FROM e JOIN bk USING (vec_id)),
+             |sized AS (SELECT bucket FROM bk GROUP BY 1
+             |          HAVING count(*) > 1 AND count(*) <= 1000),
+             |eb AS (SELECT e.vec_id, v, bucket
+             |       FROM e JOIN bk USING (vec_id) JOIN sized USING (bucket)),
              |nrm AS (SELECT vec_id, (SELECT sum(x*x) FROM unnest(v) AS t(x)) AS n2 FROM eb),
              |scored AS (
              |  SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,

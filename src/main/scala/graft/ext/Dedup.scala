@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import graft.ops.RelationalOps
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (content-hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
@@ -45,14 +45,22 @@ object Dedup {
   }
 
   /** Pairwise Jaccard over shingle sets: inverted-index self-join on the
-    * shingle, count common, |A∪B| = |A|+|B|−common. The join key is the
-    * shingle (or its hash at scale); per-shingle fan-out is the classic
-    * LSH-free hazard — use [[minhashCandidates]] when pair counts explode.
+    * shingle, count common, |A∪B| = |A|+|B|−common. A shingle shared by n
+    * docs emits O(n²) join rows, so shingles with document frequency >
+    * `maxDf` (stop-shingles: boilerplate headers, license blurbs) are
+    * dropped from the join — the standard stop-shingle guard; set sizes
+    * |A|,|B| stay the TRUE sizes so Jaccard is at worst underestimated for
+    * pairs sharing only boilerplate. Use [[minhashCandidates]] when even
+    * capped fan-out explodes.
     * Output: (id_a, id_b, common, n_a, n_b) with id_a < id_b. */
-  def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
+  def jaccardPairs(sh: DataFrame, idCol: String,
+                   maxDf: Long = 1000L): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val pruned = sh.join(rare, Seq("shingle"), "left_semi")
+    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
@@ -65,12 +73,15 @@ object Dedup {
   }
 
   /** Shingle → integer id. Dictionary path: rank-by-sort (deterministic in
-    * any engine → DuckDB-checkable). Production path: xxhash64 (row-local,
-    * no global sort; collisions negligible at 2^-64). */
+    * any engine → DuckDB-checkable), built with a distributed sort +
+    * zipWithIndex ([[RelationalOps.zipWithRank]]) — NOT a no-partition
+    * Window, which would funnel every distinct shingle through one task.
+    * Production path: xxhash64 (row-local, no global sort; collisions
+    * negligible at 2^-64). */
   def shingleIds(sh: DataFrame, useDictionaryIds: Boolean): DataFrame =
     if (useDictionaryIds) {
-      val dict = sh.select("shingle").distinct()
-        .withColumn("sid", row_number().over(Window.orderBy("shingle")).cast("long"))
+      val dict = RelationalOps.zipWithRank(
+        sh.select("shingle").distinct(), Seq(col("shingle")), "sid")
       sh.join(dict, Seq("shingle"))
     } else sh.withColumn("sid", xxhash64(col("shingle")))
 
@@ -127,13 +138,32 @@ object Dedup {
       .agg(sum(expr("bit << b")).as("simhash"))
   }
 
-  /** Pairs within `maxHamming` of each other (brute-force verify step; the
-    * scale path prefilters with [[minhashCandidates]]-style banding over
-    * simhash segments). */
-  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int): DataFrame =
-    sh.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
-      .crossJoin(sh.select(col(idCol).as("id_b"), col("simhash").as("sh_b")))
+  /** Pairs within `maxHamming` of each other, via exact pigeonhole
+    * banding: split the `bits`-bit signature into `maxHamming + 1`
+    * segments — a pair with ≤ maxHamming differing bits MUST agree exactly
+    * on at least one segment, so joining on (segment, value) loses no
+    * pair (recall = 1, results identical to the all-pairs crossJoin) while
+    * the shuffle carries only (segment, value, id, sig) keys and the join
+    * fan-out is per-segment-bucket, not O(n²). */
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int,
+                   bits: Int = 16): DataFrame = {
+    val nSeg = maxHamming + 1
+    val segVals = array((0 until nSeg).map { s =>
+      val lo = s * bits / nSeg
+      val w  = (s + 1) * bits / nSeg - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+    }: _*)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(segVals).as(Seq("seg", "segval")))
+    val a = banded.select(col("seg"), col("segval"),
+      col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("seg"), col("segval"),
+      col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -56,11 +56,11 @@ object Similarity {
       k = k, rankCol = "rank")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Threshold compares the *rounded* score so the cut is reproducible
-    * across engines. */
-  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double): DataFrame = {
+  /** All pairs with cosine ≥ threshold — brute force. O(n²) pair scores:
+    * the explicitly-named baseline for small corpora and for recall
+    * audits of [[cosinePairsLsh]]; never the registered scale path. */
+  def cosinePairsBruteForce(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val a = e.select(col(idCol).as("id_a"), col("v").as("va"))
     val b = e.select(col(idCol).as("id_b"), col("v").as("vb"))
@@ -70,14 +70,55 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Embedding near-dup pairs at scale: banded sign-LSH candidate
+    * generation + exact re-scoring. Each vector hashes to `bands`
+    * independent bucket ids (row-local — no shuffle until the bucket
+    * groupBy); a pair is a candidate iff it shares ANY band bucket
+    * (recall ≈ 1−(1−p^r)^b, the standard LSH amplification), buckets
+    * above `maxBucketSize` are dropped (boilerplate guard: one degenerate
+    * bucket must not emit O(n²) pairs), and only candidates get the exact
+    * O(dims) cosine. Shuffles carry (band, bucket, id) keys — never all
+    * pairs. Threshold compares the rounded score for engine parity. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     dims: Int, bands: Int, bitsPerBand: Int,
+                     threshold: Double,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val banded = e.select(col(idCol),
+      posexplode(lshBandBuckets(col("v"), dims, bands, bitsPerBand))
+        .as(Seq("band", "bucket")))
+    val sized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+    val b2 = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    val cand = b2.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(b2.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col(idCol).as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col(idCol).as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** ANN: exact cosine top-k, but only within sign-LSH buckets. Recall is
-    * tunable via nBits (fewer bits → bigger buckets → higher recall). */
+    * tunable via nBits (fewer bits → bigger buckets → higher recall);
+    * buckets above `maxBucketSize` are dropped so a degenerate bucket
+    * (e.g. the all-zeros region) cannot make the in-bucket join
+    * quadratic in n. */
   def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
-                      dims: Int, nBits: Int, k: Int): DataFrame = {
+                      dims: Int, nBits: Int, k: Int,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucketInt(col("v"), dims, nBits))
-    val a = e.select(col("bucket"), col(idCol).as("query_id"), col("v").as("qv"))
-    val b = e.select(col("bucket"), col(idCol).as("neighbor_id"), col("v").as("xv"))
+    val sized = e.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+    val eb = e.join(sized.select("bucket"), Seq("bucket"))
+    val a = eb.select(col("bucket"), col(idCol).as("query_id"), col("v").as("qv"))
+    val b = eb.select(col("bucket"), col(idCol).as("neighbor_id"), col("v").as("xv"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("xv")), 6))
@@ -88,21 +129,40 @@ object Similarity {
       k = k, rankCol = "rank")
   }
 
-  /** Sign-LSH bucket = Σ_j (proj_j > 0) · 2^j, from `nBits` deterministic
-    * hyperplanes. Weight for (plane j, dim i) is an LCG value in [−1, 1):
+  /** Sign of deterministic hyperplane `j` (global plane index) applied to
+    * `vec`. Weight for (plane j, dim i) is an LCG value in [−1, 1):
     * w(j,i) = ((1103515245·(j·dims+i) + 12345) mod 2^31) / 2^30 − 1.
     * Row-local (HOFs only) → no shuffle; the LCG keeps it oracle-replicable. */
+  private def planeBit(vec: Column, j: Column, dims: Int): Column = {
+    val prods = zip_with(vec,
+      sequence(lit(0), lit(dims - 1)),
+      (x, i) => x * (((lit(1103515245L) * (j * dims + i) + 12345L) % 2147483648L)
+        .cast("double") / 1073741824.0 - 1.0))
+    when(aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0, lit(1L))
+      .otherwise(lit(0L))
+  }
+
+  /** Sign-LSH bucket = Σ_j (proj_j > 0) · 2^j, from `nBits` deterministic
+    * hyperplanes. */
   def lshBucketInt(vec: Column, dims: Int, nBits: Int): Column = {
     val js = sequence(lit(0), lit(nBits - 1))
-    val bits = transform(js, j => {
-      val prods = zip_with(vec,
-        sequence(lit(0), lit(dims - 1)),
-        (x, i) => x * (((lit(1103515245L) * (j * dims + i) + 12345L) % 2147483648L)
-          .cast("double") / 1073741824.0 - 1.0))
-      when(aggregate(prods, lit(0.0), (acc, x) => acc + x) > 0, lit(1L))
-        .otherwise(lit(0L))
-    })
+    val bits = transform(js, j => planeBit(vec, j, dims))
     aggregate(zip_with(bits, js, (b, j) => b * pow(lit(2.0), j).cast("long")),
       lit(0L), (acc, x) => acc + x)
   }
+
+  /** `bands` independent sign-LSH buckets per vector; band b uses global
+    * planes [b·bitsPerBand, (b+1)·bitsPerBand) so no two bands share a
+    * hyperplane. Returns array<long> of length `bands` (element b = bucket
+    * id within band b). */
+  def lshBandBuckets(vec: Column, dims: Int, bands: Int,
+                     bitsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b => {
+      val jjs = sequence(lit(0), lit(bitsPerBand - 1))
+      val bits = transform(jjs,
+        jj => planeBit(vec, b * bitsPerBand + jj, dims))
+      aggregate(
+        zip_with(bits, jjs, (bit, jj) => bit * pow(lit(2.0), jj).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    })
 }

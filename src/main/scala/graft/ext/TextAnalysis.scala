@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import graft.ops.RelationalOps
 
 /** Text-analysis operators for training-data pipelines: tokenization /
   * token counting, quality scoring, marker-based language ID, and
@@ -59,13 +59,15 @@ object TextAnalysis {
       + lit(0.2) * (lit(1.0) - punctRatio), 6)
   }
 
-  /** Global token dictionary (token → dense id by sorted rank). The
-    * dictionary is the oracle-parity path; production uses xxhash64 per
-    * token and skips the global sort. */
+  /** Global token dictionary (token → dense id by sorted rank), built with
+    * a distributed sort + zipWithIndex ([[RelationalOps.zipWithRank]]) —
+    * no single-partition Window. The dictionary is the oracle-parity path;
+    * production uses xxhash64 per token and skips the global sort. */
   def tokenDict(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+    RelationalOps.zipWithRank(
+      df.select(explode(array_distinct(tokens(col(textCol)))).as("tok"))
+        .distinct(),
+      Seq(col("tok")), "tid")
 
   /** Positional fingerprint: Σ (pos+1)·token_id mod p, plus token count.
     * A rolling-hash-style content fingerprint that is order-sensitive

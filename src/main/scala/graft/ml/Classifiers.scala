@@ -1,7 +1,8 @@
 package graft.ml
 
 import org.apache.spark.ml.classification.{DecisionTreeClassifier,
-  FMClassifier, LogisticRegression, RandomForestClassifier}
+  FMClassifier, LogisticRegression, LogisticRegressionModel,
+  RandomForestClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator,
   MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.param.ParamMap
@@ -39,6 +40,22 @@ object Classifiers {
   private def split(df: DataFrame): (DataFrame, DataFrame) = {
     val Array(tr, te) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
     (tr, te)
+  }
+
+  /** S5 — model persistence roundtrip (reference saves every best model:
+    * `bgrfunctions.py:228,262,298,328,360` `model.save(path)`). Fits a
+    * LogisticRegression, persists via `MLWritable`
+    * (`write.overwrite().save` — JSON metadata + parquet coefficients),
+    * reloads, and returns (fitted, reloaded) for prediction-parity
+    * checks. */
+  def saveLoadRoundtrip(df: DataFrame, featuresCol: String,
+                        labelCol: String, path: String)
+      : (LogisticRegressionModel, LogisticRegressionModel) = {
+    val lr = new LogisticRegression().setFeaturesCol(featuresCol)
+      .setLabelCol(labelCol).setMaxIter(10).setRegParam(0.01)
+    val model = lr.fit(df)
+    model.write.overwrite().save(path)
+    (model, LogisticRegressionModel.load(path))
   }
 
   /** M9 — FMRegressor (reference `bgrfunctions.py:204-236`; grid

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
 
 /** The reference's relational operator surface, re-expressed as reusable
   * Spark-native combinators (SURVEY.md §2.2–§2.5). Everything is
@@ -28,9 +29,32 @@ object RelationalOps {
                         keyB: String, minB: Long): DataFrame = {
     val popularA = fact.groupBy(keyA).count().filter(col("count") > minA)
     val popularB = fact.groupBy(keyB).count().filter(col("count") > minB)
+    // No forced broadcast: the aggregated sides are usually tiny, but at
+    // 100× the distinct-key dictionaries can exceed the broadcast limit —
+    // AQE picks broadcast-hash from runtime stats when they fit, and falls
+    // back to a shuffled semi join (instead of a driver OOM) when not.
     fact
-      .join(broadcast(popularA.select(keyA)), Seq(keyA), "left_semi")
-      .join(broadcast(popularB.select(keyB)), Seq(keyB), "left_semi")
+      .join(popularA.select(keyA), Seq(keyA), "left_semi")
+      .join(popularB.select(keyB), Seq(keyB), "left_semi")
+  }
+
+  /** Deterministic dense rank ids for (already-distinct) rows of `df` in
+    * `sortCols` order, WITHOUT a no-partition `Window.orderBy` (which
+    * funnels every row through a single task — a scale-killer for
+    * shingle/token dictionaries). Here the sort is a distributed
+    * range-partitioned sort and ids come from `zipWithIndex` (per-partition
+    * offsets, one extra size-collect job); ids are identical to
+    * `row_number() OVER (ORDER BY sortCols)` + (startAt−1) because the
+    * global order is the sort order regardless of partition boundaries. */
+  def zipWithRank(df: DataFrame, sortCols: Seq[Column], out: String,
+                  startAt: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(sortCols: _*)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + startAt))
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** P8 — CASE WHEN discretization (reference `bgrfunctions.py:22-24`:
@@ -55,7 +79,13 @@ object RelationalOps {
     val withFences = df.crossJoin(broadcast(fences))
     val keep = cols.map { c =>
       val iqr = col(s"${c}_q3") - col(s"${c}_q1")
-      col(c) > (col(s"${c}_q1") - iqr) && col(c) < (col(s"${c}_q3") + iqr)
+      val lo  = col(s"${c}_q1") - iqr
+      val hi  = col(s"${c}_q3") + iqr
+      // degenerate fence (IQR = 0, constant-ish column): strict bounds
+      // would drop every row, so the fence becomes inclusive — the
+      // reference's own >=/<= variant (`bgrfunctions.py:384-387`)
+      when(iqr === 0, col(c) >= lo && col(c) <= hi)
+        .otherwise(col(c) > lo && col(c) < hi)
     }.reduce(_ && _)
     withFences.filter(keep).drop(cols.flatMap(c =>
       Seq(s"${c}_q1", s"${c}_q3")): _*)
@@ -82,12 +112,11 @@ object RelationalOps {
   /** M1 relational analog — frequency-ranked dictionary like StringIndexer
     * (reference `bgrfunctions.py:151-160`): most frequent value → index 0;
     * ties broken by value ascending (deterministic, unlike raw
-    * StringIndexer). */
-  def frequencyIndex(df: DataFrame, c: String): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col(c).asc)
-    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      .withColumn("idx", row_number().over(w).cast("long") - 1)
-  }
+    * StringIndexer). Ranked via [[zipWithRank]] — no single-partition
+    * Window even when the dictionary is large. */
+  def frequencyIndex(df: DataFrame, c: String): DataFrame =
+    zipWithRank(df.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
+      Seq(col("cnt").desc, col(c).asc), "idx", startAt = 0L)
 
   /** W4 — grouped top-k via ranked window; Spark 4's WindowGroupLimit rule
     * pushes the `rn <= k` predicate into the window exec, so only k rows

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV ingest/egress — the reference's native format (SURVEY.md §2.1
+  * S1/S2: every reference entry point starts with
+  * `spark.read.csv(inferSchema=True, header=True)`,
+  * `PySpark Scripts/datacleaning.py:26,30`, `als.py:21-22`,
+  * `fmreg.py:16-17`; the sink is
+  * `coalesce(1).write.option('header',True).mode('overwrite').csv`).
+  *
+  * Scale notes: `inferSchema` runs one extra full pass over the file —
+  * the explicit-schema variant ([[csvWithSchema]]) is the production path
+  * (single pass, no sampling surprise, stable types). The single-file
+  * sink serializes the last stage through one task — kept ONLY as the
+  * reference-parity output format; [[writeCsvDistributed]] is the scale
+  * path (one file per partition).
+  */
+object Sources {
+
+  /** S1 — CSV scan with schema inference (reference parity path). */
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          inferSchema: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.options(Map(
+      "header" -> header.toString,
+      "inferSchema" -> inferSchema.toString,
+      "delimiter" -> delimiter)).csv(path)
+
+  /** S1 — CSV scan with an explicit schema (production path: one pass,
+    * no inference job). */
+  def csvWithSchema(spark: SparkSession, path: String, schema: StructType,
+                    header: Boolean = true,
+                    delimiter: String = ","): DataFrame =
+    spark.read.schema(schema).options(Map(
+      "header" -> header.toString,
+      "delimiter" -> delimiter)).csv(path)
+
+  /** S2 — single-file CSV sink with header, overwrite (reference parity:
+    * `datacleaning.py:30,98`). `coalesce(1)` is the reference's own
+    * anti-optimization — one task writes the file. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.coalesce(1).write.option("header", header.toString)
+      .mode("overwrite").csv(path)
+
+  /** S2 at scale — one file per partition, no single-task funnel. */
+  def writeCsvDistributed(df: DataFrame, path: String,
+                          header: Boolean = true): Unit =
+    df.write.option("header", header.toString).mode("overwrite").csv(path)
+}

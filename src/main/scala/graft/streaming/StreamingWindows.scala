@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Structured Streaming wrappers for the batch window queries
   * (SURVEY.md §2.8): the same `window($"ts", ...)` expressions run under
@@ -25,15 +25,17 @@ object StreamingWindows {
 
   /** Streaming variant: parquet-dir source → watermark → same agg →
     * memory sink. `processAllAvailable` lets a static fixture drive the
-    * query synchronously in tests. Watermark bounds state: at scale,
-    * state store holds only windows newer than (max ts − 2h). */
+    * query synchronously in tests. Output mode is Append — windows are
+    * emitted once, when the watermark passes their end, and their state is
+    * then EVICTED, so the state store holds only windows newer than
+    * (max ts − 2h). (Complete mode would retain every window forever —
+    * unbounded state at scale.) */
   def runTumblingStream(spark: SparkSession, dir: String,
                         schema: StructType,
                         queryName: String): StreamingQuery = {
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = eventsStream(spark, dir, schema)
     val agg = tumblingAgg(events.withWatermark("ts", "2 hours"))
-    agg.writeStream.outputMode(OutputMode.Complete())
+    agg.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
@@ -44,11 +46,24 @@ object StreamingWindows {
     * (SURVEY.md §2.8's "custom state" extension). */
   final case class UserStat(user_id: Long, n_events: Long, last_epoch: Long)
 
+  /** Streaming events source. The fixture stores `ts` as parquet
+    * TIMESTAMP(NANOS) (see [[graft.Tables.events]]): pass a schema with
+    * `ts: long` and the nanos are rebuilt into a micros timestamp here —
+    * same integer-division conversion as the batch loader. */
+  private def eventsStream(spark: SparkSession, dir: String,
+                           schema: StructType) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
                       queryName: String): StreamingQuery = {
     import spark.implicits._
-    val events = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = eventsStream(spark, dir, schema)
       .select(col("user_id").cast("long"),
         unix_timestamp(col("ts")).as("epoch"))
       .as[(Long, Long)]
