@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// every ScalaCheck case is a full Spark job on a small DataFrame —
+// bound the case count so properties stay seconds, not minutes
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaCheck,
+  "-minSuccessfulTests", "10", "-workers", "1")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

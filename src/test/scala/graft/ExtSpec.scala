@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Unit tests for the dedup / similarity / text-analysis extension
+  * operators. */
+class ExtSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingles: distinct word n-grams, row-local") {
+    val sh = Dedup.shingles(docs(1L -> "a b c d"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().sorted
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("exactByContent groups case-insensitively, min id survives") {
+    val d = docs(1L -> "Hello World", 2L -> "hello world", 3L -> "other")
+    val out = Dedup.exactByContent(d, "doc_id", "text")
+      .select("survivor_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccardPairs exact on known sets; stop-shingle cap prunes join") {
+    // doc1 {a b c, b c d}, doc2 {x y b, y b c, b c d}: common = {b c d},
+    // union = 2 + 3 − 1 = 4 → jaccard 0.25
+    val d = docs(1L -> "a b c d", 2L -> "x y b c d", 3L -> "q r s t")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, "doc_id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0.25)))
+    // with maxDf = 1 every shared shingle is a stop-shingle → no pairs
+    assert(Dedup.jaccardPairs(sh, "doc_id", maxDf = 1L).count() == 0)
+  }
+
+  test("minhash LSH banding surfaces identical docs as candidates") {
+    val d = docs(1L -> "w x y z a b", 2L -> "w x y z a b", 3L -> "p q r s t u")
+    val sh  = Dedup.shingles(d, "doc_id", "text", 3)
+    val ids = Dedup.shingleIds(sh, useDictionaryIds = true)
+    val bk  = Dedup.minhashBuckets(ids, "doc_id", numHashes = 16, rowsPerBand = 4)
+    val cand = Dedup.minhashCandidates(bk, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)))
+  }
+
+  test("simhashPairs pigeonhole banding == brute force") {
+    // random 16-bit signatures; banding must find EXACTLY the pairs
+    // within hamming <= 2 (recall 1 by pigeonhole)
+    val rnd = new scala.util.Random(7)
+    val sigs = (1L to 40L).map(i => (i, rnd.nextInt(1 << 16).toLong)) ++
+      Seq((41L, 0x00FFL), (42L, 0x00FEL), (43L, 0x00FFL)) // planted close
+    val df = sigs.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(df, "doc_id", maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 2
+    } yield (a, b)).toSet
+    assert(got == want && want.contains((41L, 42L)) && want.contains((41L, 43L)))
+  }
+
+  test("cosine: exact values via HOF dot products") {
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(2.0, 2.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairsBruteForce(df, "vec_id", "embedding",
+      threshold = -1.0)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs((1L, 2L)) == 0.0)
+    assert(math.abs(pairs((1L, 3L)) - 0.707107) < 1e-6)
+  }
+
+  test("cosineTopK: at most k neighbors per query, scores non-increasing") {
+    val vecs = (1L to 6L).map(i =>
+      (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7)))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(vecs.filter(col("vec_id") <= 2), vecs,
+      "vec_id", "embedding", k = 3)
+      .select("query_id", "score", "rank").as[(Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 3)
+      val ordered = rows.sortBy(_._3).map(_._2)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosinePairsLsh: subset of brute force, finds exact duplicates") {
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 30L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+    val withDup = base :+ (31L, base.head._2) // identical to vec 1
+    val df = withDup.toDF("vec_id", "embedding")
+    val brute = Similarity.cosinePairsBruteForce(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosinePairsLsh(df, "vec_id", "embedding",
+      dims = 8, bands = 4, bitsPerBand = 2, threshold = 0.9)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // identical vectors share every band bucket → always found
+    assert(lsh.exists { case (a, b, c) => a == 1L && b == 31L && c == 1.0 })
+  }
+
+  test("langId picks the marker-dominant language, 'und' when no markers") {
+    val d = Seq(
+      (1L, "the cat is one of the animals in a house"),
+      (2L, "le chat et la maison de un chien"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val d = Seq("the of and in is to a", "x", "!!!???;;;",
+      ("word " * 200).trim).toDF("text")
+    val scores = d.select(TextAnalysis.qualityScore(col("text")))
+      .as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprint is order-sensitive, n_tokens exact") {
+    val d = docs(1L -> "alpha beta", 2L -> "beta alpha")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .select("doc_id", "fingerprint", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fp(1L)._1 != fp(2L)._1)   // swapped tokens change the hash
+    assert(fp(1L)._2 == 2L && fp(2L)._2 == 2L)
+  }
+
+  test("tokenDict ids are the sorted rank") {
+    val d = docs(1L -> "b c", 2L -> "a c")
+    val dict = TextAnalysis.tokenDict(d, "text")
+      .as[(String, Long)].collect().toMap
+    assert(dict == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+}

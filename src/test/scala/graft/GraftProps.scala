@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import graft.ops.RelationalOps
+
+/** ScalaCheck invariants (SURVEY.md §5.2). Each case builds one small
+  * DataFrame and runs the operator once; case counts are bounded in
+  * build.sbt (`-minSuccessfulTests`) because every case is a Spark job. */
+object GraftProps extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val smallDoubles = Gen.listOfN(25, Gen.choose(-100.0, 100.0))
+
+  property("discretize: buckets ∈ {0,1} and = 0 iff x < threshold") =
+    forAll(smallDoubles, Gen.choose(-50.0, 50.0)) { (xs, thr) =>
+      xs.nonEmpty ==> {
+        val out = RelationalOps.discretize(xs.toDF("x"), "x", thr, "b")
+          .as[(Double, Double)].collect()
+        out.forall { case (x, b) =>
+          (b == 0.0 || b == 1.0) && ((b == 0.0) == (x < thr))
+        }
+      }
+    }
+
+  property("removeOutliersIqr: output is a sub-multiset of input") =
+    forAll(smallDoubles) { xs =>
+      xs.nonEmpty ==> {
+        val kept = RelationalOps.removeOutliersIqr(xs.toDF("x"), Seq("x"))
+          .as[Double].collect()
+        val inCounts = xs.groupBy(identity).view.mapValues(_.size).toMap
+        kept.groupBy(identity).forall { case (v, g) =>
+          g.size <= inCounts.getOrElse(v, 0)
+        }
+      }
+    }
+
+  property("minMaxScale: non-constant column lands in [0,1]") =
+    forAll(smallDoubles) { xs =>
+      (xs.distinct.size > 1) ==> {
+        val out = RelationalOps.minMaxScale(xs.toDF("x"), "x", "s")
+          .select("s").as[Double].collect()
+        out.forall(s => s >= 0.0 && s <= 1.0)
+      }
+    }
+
+  property("topKPerGroup: ≤ k rows per group, ranks start at 1") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.choose(0.0, 10.0))),
+      Gen.choose(1, 5)) { (rows, k) =>
+      rows.nonEmpty ==> {
+        val out = RelationalOps.topKPerGroup(rows.toDF("g", "s"),
+          Seq(col("g")), Seq(col("s").desc, col("g")), k)
+          .select("g", "rn").as[(String, Int)].collect()
+        out.groupBy(_._1).forall { case (_, g) =>
+          g.length <= k && g.map(_._2).sorted.toSeq == (1 to g.length)
+        }
+      }
+    }
+
+  property("zipWithRank: ids are 1..n in sorted order") =
+    forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
+      val xs = raw.distinct
+      xs.nonEmpty ==> {
+        val ranked = RelationalOps.zipWithRank(xs.toDF("v"),
+          Seq(col("v")), "rk").as[(String, Long)].collect().sortBy(_._2)
+        ranked.map(_._2).toSeq == (1L to xs.size.toLong) &&
+          ranked.map(_._1).toSeq == xs.sorted
+      }
+    }
+}

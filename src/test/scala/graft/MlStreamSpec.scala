@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{Classifiers, FeaturePipeline, Recsys}
+import graft.streaming.StreamingWindows
+
+/** ML metric-tolerance tests (seeded, ceiling-style — mirrors how the
+  * reference itself judges models, SURVEY.md §5.1) and batch-vs-stream
+  * agreement for the streaming wrappers. Uses the sf0.001 fixtures. */
+class MlStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("seeded ALS on sf0.001: RMSE under ceiling, top-k shape") {
+    val fit = Recsys.fitAls(Tables.ratings(spark, Sf), "user_id", "item_id",
+      "rating", rank = 8, regParam = 0.1, maxIter = 5)
+    // generous ceiling: ratings span ~0–10, a constant predictor scores
+    // ~stddev ≈ 4.2 here — the fit must at least beat that
+    assert(fit.rmse > 0.0 && fit.rmse < 4.2, s"rmse=${fit.rmse}")
+    val recs = Recsys.recommendTopK(fit.model, k = 5)
+      .select("user_id", "rank").as[(Int, Int)].collect()
+    val byUser = recs.groupBy(_._1)
+    assert(byUser.values.forall(_.length <= 5))
+    assert(byUser.values.forall(_.map(_._2).sorted.toSeq ==
+      (1 to byUser.values.head.length).take(5)))
+  }
+
+  test("model save/load roundtrip: identical coefficients and predictions") {
+    val raw = Seq((1.0, 10.0, 0.0), (2.0, 8.0, 0.0), (6.0, 2.0, 1.0),
+      (7.0, 1.0, 1.0), (5.5, 2.5, 1.0), (1.5, 9.0, 0.0))
+      .toDF("x1", "x2", "y")
+    val df = FeaturePipeline.assembleAndScale(raw, Seq("x1", "x2"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_model_spec").toString
+    val (fitted, reloaded) = Classifiers.saveLoadRoundtrip(df,
+      "scaled_features", "y", tmp)
+    assert(fitted.coefficients == reloaded.coefficients)
+    assert(fitted.intercept == reloaded.intercept)
+    val p1 = fitted.transform(df).select("prediction").as[Double].collect()
+    val p2 = reloaded.transform(df).select("prediction").as[Double].collect()
+    assert(p1.toSeq == p2.toSeq)
+  }
+
+  test("tumbling stream (Append + watermark) agrees with batch on closed windows") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val q = StreamingWindows.runTumblingStream(spark, Sf, rawSchema,
+      "tumbling_spec")
+    try {
+      q.processAllAvailable()
+      // Append emits a window once the watermark passes its end — that
+      // happens in the no-data batch after the first; poll for it.
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = spark.table("tumbling_spec").collect()
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+        rows = spark.table("tumbling_spec").collect()
+      }
+      val batch = StreamingWindows.tumblingAgg(Tables.events(spark, Sf))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(rows.nonEmpty, "stream emitted no closed windows within 30s")
+      // every emitted window must match the batch result exactly
+      rows.foreach { r =>
+        val k = (r.getLong(0), r.getString(1))
+        assert(batch(k) == ((r.getLong(2), r.getLong(3))),
+          s"window $k: stream=(${r.getLong(2)},${r.getLong(3)}) batch=${batch(k)}")
+      }
+      // windows newer than (max ts − watermark) stay open → strictly fewer
+      assert(rows.length < batch.size)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState user stats agree with batch counts") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val q = StreamingWindows.userStatsStream(spark, Sf, rawSchema,
+      "userstats_spec")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("userstats_spec")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val batch = Tables.events(spark, Sf).groupBy("user_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CleaningOps, RelationalOps}
+
+/** Unit tests for the relational/cleaning operator combinators
+  * (SURVEY.md §5.2: trim semantics, mode tie-break, IQR degenerate
+  * fences, dictionary ranking). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("trimLowImportance keeps only rows popular on BOTH keys, single pass") {
+    // item 1 has 3 rows, item 2 has 1; user a has 3 rows, user b has 1.
+    val fact = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"))
+      .toDF("item", "user")
+    val out = RelationalOps.trimLowImportance(fact, "item", 2, "user", 2)
+      .select("item", "user").as[(Int, String)].collect()
+    // single pass like the reference: user counts are over ALL items,
+    // so (1, a) survives ×2 and nothing else
+    assert(out.length == 2)
+    assert(out.forall(r => r == ((1, "a"))))
+  }
+
+  test("modeOf breaks ties by smallest value") {
+    val df = Seq("b", "a", "b", "a", "c").toDF("v")
+    val m = RelationalOps.modeOf(df, "v").collect()
+    assert(m.length == 1 && m(0).getString(0) == "a" && m(0).getLong(1) == 2L)
+  }
+
+  test("removeOutliersIqr drops far outliers, keeps the bulk") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    assert(RelationalOps.removeOutliersIqr(df, Seq("x")).count() == 100)
+    val withOutlier = ((1 to 20).map(_.toDouble) :+ 1e6).toDF("x")
+    val kept = RelationalOps.removeOutliersIqr(withOutlier, Seq("x"))
+      .as[Double].collect()
+    assert(!kept.contains(1e6) && kept.length == 20)
+  }
+
+  test("removeOutliersIqr degenerate IQR=0 keeps equal values (>=/<= branch)") {
+    val df = (Seq.fill(10)(10.0) :+ 1000.0).toDF("x")
+    // Q1 = Q3 = 10 → IQR 0; strict fences would drop everything, the
+    // inclusive branch keeps exactly the constant bulk
+    val kept = RelationalOps.removeOutliersIqr(df, Seq("x")).as[Double].collect()
+    assert(kept.length == 10 && kept.forall(_ == 10.0))
+  }
+
+  test("zipWithRank = row_number over sorted order, distributed") {
+    val df = Seq("c", "a", "d", "b").toDF("v").repartition(3)
+    val ranked = RelationalOps.zipWithRank(df, Seq(col("v")), "rk")
+      .as[(String, Long)].collect().sortBy(_._2)
+    assert(ranked.toSeq == Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("frequencyIndex: most frequent value gets index 0, ties by value") {
+    val df = Seq("x", "y", "y", "z", "z").toDF("v")
+    val idx = RelationalOps.frequencyIndex(df, "v")
+      .select("v", "idx").as[(String, Long)].collect().toMap
+    assert(idx == Map("y" -> 0L, "z" -> 1L, "x" -> 2L))
+  }
+
+  test("topKPerGroup emits at most k rows per group, rank contiguous") {
+    val df = Seq(("g1", 5.0), ("g1", 3.0), ("g1", 9.0), ("g2", 1.0))
+      .toDF("g", "s")
+    val out = RelationalOps.topKPerGroup(df, Seq(col("g")),
+      Seq(col("s").desc), k = 2).collect()
+    val byG = out.groupBy(_.getString(0))
+    assert(byG("g1").length == 2 && byG("g2").length == 1)
+    assert(byG("g1").map(_.getDouble(1)).toSet == Set(9.0, 5.0))
+  }
+
+  test("nullAudit counts nulls per column in one row") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (None, None))
+      .toDF("i", "s")
+    val r = CleaningOps.nullAudit(df).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+  }
+
+  test("fillWithMean / fillWithMode impute in-plan") {
+    val df = Seq(Some(1.0), Some(3.0), None).toDF("x")
+    val filled = CleaningOps.fillWithMean(df, "x").as[Double].collect().sorted
+    assert(filled.toSeq == Seq(1.0, 2.0, 3.0))
+    val s = Seq(Some("a"), Some("a"), Some("b"), None).toDF("v")
+    val modeFilled = CleaningOps.fillWithMode(s, "v").as[String].collect()
+    assert(modeFilled.count(_ == "a") == 3)
+  }
+
+  test("sentinelToNull + binaryToCategorical + sanitizeNames") {
+    val df = Seq("[]", "real").toDF("v")
+    val nulled = CleaningOps.sentinelToNull(df, "v", lit("[]"))
+    assert(nulled.filter(col("v").isNull).count() == 1)
+
+    val flags = Seq((5, 100.0), (30, 1000.0)).toDF("size", "price")
+    val tagged = CleaningOps.binaryToCategorical(flags,
+      Seq("large" -> (col("size") > 25), "pricey" -> (col("price") > 900)),
+      "tags").select("tags").as[String].collect().sorted
+    assert(tagged.toSeq == Seq("", "large, pricey"))
+
+    val dotted = Seq((1, 2)).toDF("a.b", "c.d.e")
+    assert(CleaningOps.sanitizeNames(dotted).columns.toSeq == Seq("ab", "cde"))
+  }
+
+  test("zeroVariancePrune drops constant columns only") {
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("varies", "const")
+    val pruned = CleaningOps.zeroVariancePrune(df, Seq("varies", "const"))
+    assert(pruned.columns.toSeq == Seq("varies"))
+  }
+
+  test("minMaxScale maps to [0,1] with endpoints hit") {
+    val df = Seq(10.0, 20.0, 30.0).toDF("x")
+    val scaled = RelationalOps.minMaxScale(df, "x", "s")
+      .select("s").as[Double].collect().sorted
+    assert(scaled.toSeq == Seq(0.0, 0.5, 1.0))
+  }
+}
