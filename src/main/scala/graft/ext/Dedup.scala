@@ -32,7 +32,9 @@ object Dedup {
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
 
   /** Distinct word n-gram shingles, row-local (split + HOF slide, no
-    * shuffle). Output: (idCol, shingle). */
+    * shuffle — `array_distinct` dedupes within the row BEFORE the explode,
+    * so (id, shingle) rows are already unique and no distinct shuffle is
+    * needed). Output: (idCol, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
     val toks = split(col(textCol), " ")
@@ -41,7 +43,6 @@ object Dedup {
           sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
           i => array_join(slice(toks, i + 1, lit(n)), " ")))).as("shingle"))
       .filter(size(split(col("shingle"), " ")) === n)
-      .distinct()
   }
 
   /** Pairwise Jaccard over shingle sets: inverted-index self-join on the
@@ -56,12 +57,21 @@ object Dedup {
   def jaccardPairs(sh: DataFrame, idCol: String,
                    maxDf: Long = 1000L): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val pruned = sh.join(rare, Seq("shingle"), "left_semi")
+    // The STOP list (df > maxDf) is tiny by construction — boilerplate
+    // shingles are few in distinct count — so an anti join against it is
+    // broadcast-eligible and the full shingle set is NOT re-shuffled
+    // (a semi join on the huge keep-list would shuffle everything twice).
+    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    val pruned = sh.join(stop, Seq("shingle"), "left_anti")
     val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
     val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // SHUFFLE_HASH hint: post-explode size estimates are far below real
+    // cardinality, so Catalyst would otherwise BROADCAST the whole b-side
+    // shingle set (observed at sf0.1) — a driver OOM at scale. Hinting
+    // forces a shuffled hash join partitioned by shingle; both sides are
+    // identical subplans, so the exchange is reused.
+    a.join(b.hint("shuffle_hash"), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
       .join(sizes.withColumnRenamed(idCol, "id_a")
@@ -88,22 +98,31 @@ object Dedup {
   /** MinHash signatures with `numHashes` affine hashes
     * h_i(x) = (a_i·x + b_i) mod p, banded `numHashes/rowsPerBand` ways.
     * a_i/b_i derive from i by a fixed formula (no RNG → reproducible and
-    * oracle-replicable). Output: (id, band, bucket) — one row per doc per
-    * band; `bucket` is the joined band-signature string. */
+    * oracle-replicable).
+    *
+    * Plan shape: the hash parameters are compile-time constants, so all
+    * `numHashes` minima are computed as columns of ONE hash aggregation —
+    * a single shuffle of |shIds| rows with map-side partial mins. (The
+    * alternative — crossJoin with a hash-params table then groupBy
+    * (id, i) — multiplies the shuffle by numHashes.) Bands are then cut
+    * from the signature columns row-locally.
+    * Output: (id, band, bucket) — one row per doc per band; `bucket` is
+    * the joined band-signature string. */
   def minhashBuckets(shIds: DataFrame, idCol: String, numHashes: Int,
                      rowsPerBand: Int): DataFrame = {
-    val hp = shIds.sparkSession.range(numHashes)
-      .select(col("id").cast("int").as("i"))
-      .withColumn("a", (col("i") + 1) * lit(387420489L) % MinhashPrime)
-      .withColumn("b", ((col("i") + 1) * lit(1299709L) + 104729L) % MinhashPrime)
-    shIds.crossJoin(broadcast(hp))
-      .groupBy(col(idCol), col("i"))
-      .agg(min((col("a") * col("sid") + col("b")) % MinhashPrime).as("mh"))
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string")), "_").as("bucket"))
+    val mins = (0 until numHashes).map { i =>
+      val a = (i + 1) * 387420489L % MinhashPrime
+      val b = ((i + 1) * 1299709L + 104729L) % MinhashPrime
+      min((col("sid") * a + b) % MinhashPrime).as(s"mh_$i")
+    }
+    val sig = shIds.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bands = (0 until numHashes / rowsPerBand).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"mh_$i").cast("string")): _*).as("bucket"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** LSH candidate pairs: docs sharing any (band, bucket). Buckets larger
@@ -116,7 +135,8 @@ object Dedup {
       .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
     val b = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"))
     b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-      .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+      .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+        .hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -159,7 +179,8 @@ object Dedup {
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("seg"), col("segval"),
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("seg", "segval"))
+    a.join(b.hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
+        Seq("seg", "segval"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))

@@ -17,22 +17,36 @@ import graft.ops.RelationalOps
   *    count drops from n·m to Σ|bucket|². Projections use an integer LCG
   *    for the weights, so the oracle can replicate them exactly.
   *
-  * All dot products run in double (`aggregate`/`zip_with` higher-order
-  * functions — codegen-friendly, element order = index order, which keeps
-  * float accumulation bit-identical to the DuckDB oracle's zipped unnest).
+  * All dot products run in double with index-order accumulation, which
+  * keeps float results bit-identical to the DuckDB oracle's zipped
+  * unnest. Pair scoring uses the fused codegen expression
+  * [[graft.functions.CosineSimilarity]]; bucket hashing stays in
+  * higher-order functions (once per row, not per pair).
   */
 object Similarity {
 
-  /** dot(a, b) in double via HOFs; `a`,`b` are array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) in double via HOFs; `a`,`b` are array<double> columns.
+    * Reference formulation (also the shape the oracle replicates) — kept
+    * for tests and one-off use; the pair-scoring hot path uses the fused
+    * codegen expression below. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def norm2(a: Column): Column = dot(a, a)
+  def norm2Hof(a: Column): Column = dotHof(a, a)
 
-  /** cos(a, b) = dot / (|a|·|b|) — computed with the exact same operation
-    * order as the oracle SQL. */
+  /** HOF cosine — bit-identical to [[cosine]]; used to cross-check the
+    * native expression in tests. */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(norm2Hof(a)) * sqrt(norm2Hof(b)))
+
+  /** cos(a, b) — fused single-pass codegen expression
+    * ([[graft.functions.CosineSimilarity]]): interpreted HOF lambdas
+    * allocate a zipped array per scored pair and fall out of whole-stage
+    * codegen, which dominated the candidate-scoring joins; accumulation
+    * order (index 0..n−1) is unchanged, so results stay bit-identical to
+    * the HOF form and the DuckDB oracle. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -42,6 +56,7 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, index: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     val x = index.select(col(idCol).as("neighbor_id"),
@@ -61,6 +76,7 @@ object Similarity {
     * audits of [[cosinePairsLsh]]; never the registered scale path. */
   def cosinePairsBruteForce(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val a = e.select(col(idCol).as("id_a"), col("v").as("va"))
     val b = e.select(col(idCol).as("id_b"), col("v").as("vb"))
@@ -83,6 +99,7 @@ object Similarity {
                      dims: Int, bands: Int, bitsPerBand: Int,
                      threshold: Double,
                      maxBucketSize: Int = 1000): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val banded = e.select(col(idCol),
       posexplode(lshBandBuckets(col("v"), dims, bands, bitsPerBand))
@@ -92,7 +109,8 @@ object Similarity {
       .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
     val b2 = banded.join(sized.select("band", "bucket"), Seq("band", "bucket"))
     val cand = b2.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-      .join(b2.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+      .join(b2.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+        .hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -112,6 +130,7 @@ object Similarity {
   def lshBucketedTopK(df: DataFrame, idCol: String, vecCol: String,
                       dims: Int, nBits: Int, k: Int,
                       maxBucketSize: Int = 1000): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucketInt(col("v"), dims, nBits))
     val sized = e.groupBy("bucket").agg(count(lit(1)).as("bsz"))
@@ -119,7 +138,7 @@ object Similarity {
     val eb = e.join(sized.select("bucket"), Seq("bucket"))
     val a = eb.select(col("bucket"), col(idCol).as("query_id"), col("v").as("qv"))
     val b = eb.select(col("bucket"), col(idCol).as("neighbor_id"), col("v").as("xv"))
-    val scored = a.join(b, Seq("bucket"))
+    val scored = a.join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("xv")), 6))
       .select("bucket", "query_id", "neighbor_id", "score")

@@ -74,6 +74,19 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 3L)) - 0.707107) < 1e-6)
   }
 
+  test("native codegen cosine == HOF cosine bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    val vecs = (1 to 50).map(_ => (Seq.fill(64)(rnd.nextGaussian()),
+      Seq.fill(64)(rnd.nextGaussian()))).toDF("a", "b")
+    val both = vecs.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    // identical accumulation order → identical IEEE doubles, no epsilon
+    assert(both.forall { case (n, h) => n == h })
+  }
+
   test("cosineTopK: at most k neighbors per query, scores non-increasing") {
     val vecs = (1L to 6L).map(i =>
       (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7)))).toDF("vec_id", "embedding")
