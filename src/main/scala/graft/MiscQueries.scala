@@ -82,6 +82,49 @@ object MiscQueries {
       },
       doc = "A9 matrix form via ml.stat.Correlation over an assembled vector; oracle = 16 pairwise corr() aggregates"),
 
+    // ---- J6 positional (align-by-row-order) join ------------------------
+    GQuery("q46_positional_join",
+      (s, d) => {
+        // the reference's pd.concat(axis=1) relies on identical row order
+        // (SURVEY §2.3 J6) — no row order exists in Spark, so both sides
+        // get a deterministic dense row id (distributed zipWithRank, no
+        // single-partition Window) and the "concat" becomes an equi join
+        // on that id
+        val c = Tables.customer(s, d)
+        val left = graft.ops.RelationalOps.zipWithRank(
+          c.select("c_custkey", "c_name"), Seq(col("c_custkey")), "rid")
+        val right = graft.ops.RelationalOps.zipWithRank(
+          c.select(col("c_custkey").as("k2"), col("c_acctbal")),
+          Seq(col("k2")), "rid").drop("k2")
+        left.join(right, Seq("rid"))
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH l AS (SELECT c_custkey, c_name,
+             |            row_number() OVER (ORDER BY c_custkey) AS rid
+             |          FROM customer),
+             |r AS (SELECT round(c_acctbal, 2) AS c_acctbal,
+             |        row_number() OVER (ORDER BY c_custkey) AS rid
+             |      FROM customer)
+             |SELECT c_custkey, c_name, c_acctbal
+             |FROM l JOIN r USING (rid) ORDER BY c_custkey""".stripMargin),
+      doc = "J6 positional concat (reference datacleaning.py:61 pd.concat axis=1) re-keyed on deterministic distributed row ids"),
+
+    // ---- multimodal partition-batched decode ----------------------------
+    GQuery("q47_multimodal_batch",
+      (s, d) => graft.ext.Multimodal.decodeBatched(
+          Tables.documents(s, d)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+             |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "partition-batched decode entry point (mapPartitions, codec init amortized per partition); kernel is the documented stub"),
+
     // ---- P12 column-name sanitization -----------------------------------
     GQuery("q45_sanitize_names",
       (s, d) => CleaningOps.sanitizeNames(

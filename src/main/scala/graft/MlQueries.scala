@@ -103,6 +103,16 @@ object MlQueries {
       None,
       doc = "FMRegressor through TVS grid (reference bgrfunctions.py:204-236)"),
 
+    // ---- IVF ANN (centroid-partitioned scale path) ----------------------
+    GQuery("qml56_knn_ivf",
+      (s, d) => graft.ext.Similarity.ivfTopK(Tables.embeddings(s, d),
+          "vec_id", "embedding", queryPred = col("vec_id") < 20,
+          nLists = 16, nProbe = 4, k = 5)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank"),
+      None, // KMeans quantizer is not SQL-expressible → rows-only
+      doc = "IVF ANN: seeded KMeans coarse quantizer, nProbe nearest cells per query, exact cosine inside cells"),
+
     // ---- S5 model persistence: save → load → identical predictions ------
     GQuery("qml55_model_io",
       (s, d) => {

@@ -148,6 +148,54 @@ object Similarity {
       k = k, rankCol = "rank")
   }
 
+  /** IVF (inverted-file) ANN — the centroid-partitioned scale path, the
+    * standard alternative to LSH bucketing: a KMeans coarse quantizer
+    * (seeded → deterministic) assigns every corpus vector to one of
+    * `nLists` cells; each query probes only its `nProbe` nearest cells
+    * and scores exactly inside them. Candidates drop from n·m to
+    * m·nProbe·(n/nLists) on average. The cell assignment shuffles once on
+    * the cell id; centroids are driver-held model state (nLists ≪ n) and
+    * broadcast into the probe ranking. Not oracle-expressible (KMeans) →
+    * registered rows-only. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, nLists: Int, nProbe: Int, k: Int,
+              seed: Long = 1L): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e)
+      .select(col(idCol), col("v"), col("cell"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cent")
+    // probe ranking: squared L2 distance query→centroid (KMeans metric)
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("cent"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = RelationalOps.topKPerGroup(
+      assigned.filter(queryPred)
+        .select(col(idCol).as("query_id"), col("v").as("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", dist2),
+      part = Seq(col("query_id")),
+      order = Seq(col("d2").asc, col("cell").asc),
+      k = nProbe, rankCol = "probe_rank")
+      .select("query_id", "qv", "cell")
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("score", round(cosine(col("qv"), col("v")), 6))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
+    RelationalOps.topKPerGroup(scored,
+      part = Seq(col("query_id")),
+      order = Seq(col("score").desc, col("neighbor_id").asc),
+      k = k, rankCol = "rank")
+  }
+
   /** Sign of deterministic hyperplane `j` (global plane index) applied to
     * `vec`. Weight for (plane j, dim i) is an LCG value in [−1, 1):
     * w(j,i) = ((1103515245·(j·dims+i) + 12345) mod 2^31) / 2^30 − 1.
