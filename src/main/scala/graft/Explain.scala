@@ -20,7 +20,13 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val df = QueryRegistry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    if (!args.contains("--no-run")) {
+    if (args.contains("--twice")) {
+      // same-session idempotency probe: build + collect the query twice
+      // and compare results (catches temp-table / temp-path collisions)
+      val r1 = QueryRegistry.queries(name)(spark, sfDir).collect().toSeq
+      val r2 = QueryRegistry.queries(name)(spark, sfDir).collect().toSeq
+      println(s"[explain] $name twice: equal=${r1 == r2} rows=${r1.size}")
+    } else if (!args.contains("--no-run")) {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[explain] $name ran in ${(System.nanoTime() - t0) / 1e9}%.2f s on $sfDir")

@@ -125,6 +125,55 @@ object MiscQueries {
              |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "partition-batched decode entry point (mapPartitions, codec init amortized per partition); kernel is the documented stub"),
 
+    // ---- bucketed co-located join (exchange-free) -----------------------
+    GQuery("q49_bucketed_join",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        Sources.writeBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+          "graft_li_b", s"$tmp/li", "l_orderkey", 8)
+        Sources.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          "graft_o_b", s"$tmp/o", "o_orderkey", 8)
+        // both sides pre-hashed into the same 8 buckets on the join key →
+        // the sort-merge join compiles WITHOUT an Exchange (verify via
+        // explain). merge hint: at tiny SF the dim fits the broadcast
+        // threshold and Catalyst would broadcast, hiding the layout this
+        // query exists to exercise; at 100 TB merge-over-buckets IS the
+        // choice.
+        s.table("graft_li_b")
+          .join(s.table("graft_o_b").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .as("price_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "bucketBy(8, key) + sortBy write, then an exchange-free sort-merge join off the bucketed layout — pay the shuffle once at write time"),
+
+    // ---- salted skew join -----------------------------------------------
+    GQuery("q50_salted_join",
+      (s, d) => graft.ops.RelationalOps.saltedJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity")),
+          Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority")),
+          "l_orderkey", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "hot-key salting: fact keys split 8 ways, dim replicated 8 ways — result identical to the plain join, skew spread over 8 tasks"),
+
     // ---- P12 column-name sanitization -----------------------------------
     GQuery("q45_sanitize_names",
       (s, d) => CleaningOps.sanitizeNames(

@@ -85,6 +85,21 @@ object TextQueries {
              |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin),
       doc = "order-sensitive rolling-hash-style fingerprint, pure int64 math"),
 
+    // ---- TF-IDF ---------------------------------------------------------
+    GQuery("q48_tfidf",
+      (s, d) => TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "tok"),
+      Some("""WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents) GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, tok, tf, df,
+             |  round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf
+             |FROM tf JOIN dfreq USING (tok), n
+             |ORDER BY doc_id, tok""".stripMargin),
+      doc = "TF-IDF: two hash aggs + tok join, 1-row corpus count broadcast; no dictionary, no global sort"),
+
     // ---- multimodal metadata plumbing -----------------------------------
     GQuery("q41_multimodal_meta",
       (s, d) => graft.ext.Multimodal.withDecodedMeta(

@@ -69,6 +69,23 @@ object TextAnalysis {
         .distinct(),
       Seq(col("tok")), "tid")
 
+  /** TF-IDF per (doc, token): tf = in-doc count, df = number of docs
+    * containing the token, tfidf = tf · ln(N/df). Two hash aggregations
+    * (by (doc, tok) then by tok) + one join on tok; the 1-row corpus
+    * count broadcasts. No dictionary, no global sort — fully
+    * shuffle-parallel at any scale. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .select(col(idCol), col("tok"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Positional fingerprint: Σ (pos+1)·token_id mod p, plus token count.
     * A rolling-hash-style content fingerprint that is order-sensitive
     * (swapped tokens change it) yet engine-agnostic (pure int64 math). */

@@ -118,6 +118,24 @@ object RelationalOps {
     zipWithRank(df.groupBy(col(c)).agg(count(lit(1)).as("cnt")),
       Seq(col("cnt").desc, col(c).asc), "idx", startAt = 0L)
 
+  /** Skew-safe equi join: when one fact key holds a disproportionate
+    * share of rows, a plain hash join sends the whole hot key to one
+    * task. Salting splits every fact key into `salts` sub-keys (salt =
+    * deterministic-enough hash of a per-row id — the assignment does not
+    * affect the result, only the balance) and replicates each dim row
+    * `salts` ways, so the hot key spreads over `salts` tasks. Result is
+    * identical to the plain inner equi join. AQE's skew-join handles
+    * sort-merge skew automatically; explicit salting remains the tool
+    * for broadcast-ineligible hash joins and for aggregations. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** W4 — grouped top-k via ranked window; Spark 4's WindowGroupLimit rule
     * pushes the `rn <= k` predicate into the window exec, so only k rows
     * per group survive the shuffle (no full per-group sort materialized).

@@ -47,4 +47,19 @@ object Sources {
   def writeCsvDistributed(df: DataFrame, path: String,
                           header: Boolean = true): Unit =
     df.write.option("header", header.toString).mode("overwrite").csv(path)
+
+  /** Bucketed parquet table (external, explicit path — no dependence on
+    * the session warehouse dir): pre-shuffles the data into `numBuckets`
+    * hash buckets on `bucketCol` and sorts within buckets, so any later
+    * equi join or aggregation on that key runs WITHOUT an exchange —
+    * the canonical co-located-join layout for repeated 100 TB joins
+    * (pay the shuffle once at write time, never at read time). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).mode("overwrite").format("parquet")
+      .saveAsTable(table)
+  }
 }
