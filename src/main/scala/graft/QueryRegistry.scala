@@ -32,7 +32,7 @@ object QueryRegistry {
   lazy val all: Seq[GQuery] =
     CoreQueries.all ++ CleaningQueries.all ++ WindowQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      MiscQueries.all ++ MlQueries.all
+      MiscQueries.all ++ MetricsQueries.all ++ MlQueries.all
 
   lazy val byName: Map[String, GQuery] = {
     val m = all.map(q => q.name -> q).toMap

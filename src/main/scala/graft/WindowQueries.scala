@@ -58,6 +58,57 @@ object WindowQueries {
              |  count(*) AS n_events
              |FROM events WHERE event_type IN ('click', 'purchase')
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "per-key windowed agg — the mapGroupsWithState-shaped workload, batch-checked")
+      doc = "per-key windowed agg — the mapGroupsWithState-shaped workload, batch-checked"),
+
+    // ---- session windows (30 min inactivity gap) ------------------------
+    GQuery("q53_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("sum_value_cents"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("s_start"),
+          col("n_events"), col("sum_value_cents"))
+        .orderBy("user_id", "s_start"),
+      // oracle: classic gaps-and-islands — a new session starts when the
+      // gap from the previous event reaches the 30 min timeout (Spark
+      // merges only strictly-overlapping [start, last+gap) windows)
+      Some("""WITH e AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+             |l AS (SELECT user_id, t, value,
+             |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+             |               >= 1800 OR
+             |             lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             |        THEN 1 ELSE 0 END AS new_s
+             |      FROM e),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |        ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM l)
+             |SELECT user_id, CAST(floor(min(t)) AS BIGINT) AS s_start,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+             |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin),
+      doc = "session_window(ts, 30 min) — state-merging session agg, partitioned by user (streaming-ready); oracle via gaps-and-islands"),
+
+    // ---- rolling window frame (per-user moving average) -----------------
+    GQuery("q54_rolling_avg",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_timestamp(col("ts")).as("t"),
+            round(avg(col("value")).over(w), 4).as("rolling_avg"))
+          .orderBy("user_id", "t", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |  round(avg(value) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             |    AS rolling_avg
+             |FROM events ORDER BY user_id, t, event_id""".stripMargin),
+      doc = "per-user rolling-3 moving average — PARTITIONED window frame (shuffle on user_id only, no global sort)")
   )
 }

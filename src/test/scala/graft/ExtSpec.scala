@@ -117,6 +117,34 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.exists { case (a, b, c) => a == 1L && b == 31L && c == 1.0 })
   }
 
+  test("tfidf: exact values on a known corpus") {
+    // "a" in both docs → ln(2/2)=0; "b" only in doc1 → tf=2, ln(2/1)
+    val d = docs(1L -> "a b b", 2L -> "a c")
+    val got = TextAnalysis.tfidf(d, "doc_id", "text")
+      .select("doc_id", "tok", "tf", "df", "tfidf")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, "a")) == ((1L, 2L, 0.0)))
+    assert(got((1L, "b")) == ((2L, 1L,
+      math.rint(2 * math.log(2.0) * 10000) / 10000)))
+    assert(got((2L, "c")) == ((1L, 1L,
+      math.rint(math.log(2.0) * 10000) / 10000)))
+  }
+
+  test("ivfTopK: ≤ k per query, self excluded, deterministic across runs") {
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    def run() = Similarity.ivfTopK(df, "vec_id", "embedding",
+      col("vec_id") <= 5, nLists = 4, nProbe = 2, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val out = run()
+    assert(out.groupBy(_._1).values.forall(_.length <= 3))
+    assert(out.forall { case (q, n, _) => q != n })
+    assert(out == run()) // seeded quantizer → repeatable
+  }
+
   test("langId picks the marker-dominant language, 'und' when no markers") {
     val d = Seq(
       (1L, "the cat is one of the animals in a house"),

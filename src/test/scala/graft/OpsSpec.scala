@@ -107,6 +107,31 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.columns.toSeq == Seq("varies"))
   }
 
+  test("saltedJoin == plain inner join (multiset)") {
+    val fact = Seq((1, "x"), (1, "y"), (2, "z"), (1, "w"), (3, "q"))
+      .toDF("k", "v")
+    val dim = Seq((1, "A"), (2, "B")).toDF("k", "d")
+    val salted = RelationalOps.saltedJoin(fact, dim, "k", salts = 4)
+      .select("k", "v", "d").as[(Int, String, String)].collect().sorted.toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "v", "d").as[(Int, String, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("writeBucketed table joins without exchange below the join") {
+    val spark2 = spark
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    graft.sources.Sources.writeBucketed(df, "bkt_a", s"$tmp/a", "k", 4)
+    graft.sources.Sources.writeBucketed(df, "bkt_b", s"$tmp/b", "k", 4)
+    val joined = spark2.table("bkt_a")
+      .join(spark2.table("bkt_b").hint("merge"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"), s"unexpected exchange:\n$plan")
+    assert(joined.count() == 100)
+  }
+
   test("minMaxScale maps to [0,1] with endpoints hit") {
     val df = Seq(10.0, 20.0, 30.0).toDF("x")
     val scaled = RelationalOps.minMaxScale(df, "x", "s")
