@@ -79,14 +79,22 @@ object MlQueries {
       (s, d) => {
         val spark = s
         import spark.implicits._
+        // persist once: four TVS grid harnesses otherwise re-run the
+        // join + assemble + scaler-fit lineage for every grid point
+        // (the reference's own missing-cache problem, SURVEY §4.1)
         val df = labeled(s, d)
-        Seq(
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the harnesses evaluate eagerly (metrics are driver values), so
+        // the input can unpersist as soon as the Seq is built
+        val out = Seq(
           Classifiers.logistic(df, "scaled_features", "buckets"),
           Classifiers.decisionTree(df, "scaled_features", "buckets"),
           Classifiers.randomForest(df, "scaled_features", "buckets", numTrees = 10),
           Classifiers.fmClassification(df, "scaled_features", "buckets",
             maxIter = 10)
         ).toDF().orderBy("model")
+        df.unpersist()
+        out
       },
       None,
       doc = "LR / DT / RF / FMClassifier through the TrainValidationSplit grid harness (reference bgrfunctions.py:238-366)"),
