@@ -113,7 +113,12 @@ object Dedup {
     val mins = (0 until numHashes).map { i =>
       val a = (i + 1) * 387420489L % MinhashPrime
       val b = ((i + 1) * 1299709L + 104729L) % MinhashPrime
-      min((col("sid") * a + b) % MinhashPrime).as(s"mh_$i")
+      // reduce sid into [0, p) FIRST: xxhash64 ids (production path) span
+      // the full signed-64 range and sid·a would overflow long (ANSI mode
+      // throws). For dictionary ids (< p always) pmod is the identity, so
+      // the oracle-checked values are unchanged.
+      min((pmod(col("sid"), lit(MinhashPrime)) * a + b) % MinhashPrime)
+        .as(s"mh_$i")
     }
     val sig = shIds.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val bands = (0 until numHashes / rowsPerBand).map { bnd =>

@@ -47,6 +47,36 @@ class ExtSpec extends AnyFunSuite {
     assert(cand == Set((1L, 2L)))
   }
 
+  test("minhash production path (xxhash64 ids, no dictionary) finds planted dups") {
+    // the scale path skips the sorted dictionary entirely — shingle ids
+    // are row-local xxhash64; candidates must still surface identical docs
+    val d = docs(1L -> "w x y z a b", 2L -> "w x y z a b", 3L -> "p q r s t u")
+    val sh  = Dedup.shingles(d, "doc_id", "text", 3)
+    val ids = Dedup.shingleIds(sh, useDictionaryIds = false)
+    val bk  = Dedup.minhashBuckets(ids, "doc_id", numHashes = 16, rowsPerBand = 4)
+    val cand = Dedup.minhashCandidates(bk, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((1L, 2L)))
+  }
+
+  test("sketch accuracy: approx_count_distinct and percentile_approx within bounds") {
+    // the 100 TB substitutes for exact distinct/percentile: HLL++ and
+    // KLL-style sketches; assert documented error bounds on fixture data
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val (approxD, exactD) = li.select(
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.15,
+      s"approx=$approxD exact=$exactD")
+    val row = li.select(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("e"))
+      .as[(Double, Double)].head()
+    assert(math.abs(row._1 - row._2) / row._2 < 0.05,
+      s"approx=${row._1} exact=${row._2}")
+  }
+
   test("simhashPairs pigeonhole banding == brute force") {
     // random 16-bit signatures; banding must find EXACTLY the pairs
     // within hamming <= 2 (recall 1 by pigeonhole)
