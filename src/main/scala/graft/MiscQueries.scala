@@ -174,6 +174,43 @@ object MiscQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "hot-key salting: fact keys split 8 ways, dim replicated 8 ways — result identical to the plain join, skew spread over 8 tasks"),
 
+    // ---- rollup (hierarchical totals) -----------------------------------
+    GQuery("q55_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        // rollup emits NULL grouping keys; coalesce to a marker so the
+        // sort keys stay non-null (Spark NULLS FIRST vs DuckDB NULLS LAST)
+        .select(coalesce(col("l_returnflag"), lit("__all")).as("rf"),
+          coalesce(col("l_linestatus"), lit("__all")).as("ls"),
+          col("n"), col("qty_cents"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '__all') AS rf,
+             |  coalesce(l_linestatus, '__all') AS ls,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+      doc = "ROLLUP hierarchy in one pass (partial-agg expand); null grouping keys coalesced for cross-engine sort parity"),
+
+    // ---- unpivot / melt -------------------------------------------------
+    GQuery("q56_unpivot",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double"),
+          col("p_retailprice").cast("double"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .select(col("p_partkey"), col("metric"), round(col("value"), 2).as("value"))
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'p_size' AS metric,
+             |  round(CAST(p_size AS DOUBLE), 2) AS value FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'p_retailprice' AS metric,
+             |  round(CAST(p_retailprice AS DOUBLE), 2) AS value FROM part
+             |ORDER BY p_partkey, metric""".stripMargin),
+      doc = "unpivot/melt: wide columns to (key, metric, value) rows — row-local Expand, no shuffle"),
+
     // ---- P12 column-name sanitization -----------------------------------
     GQuery("q45_sanitize_names",
       (s, d) => CleaningOps.sanitizeNames(
