@@ -60,6 +60,72 @@ object StreamingWindows {
     else raw
   }
 
+  /** Closed session emitted by [[sessionizeStream]]: [s_start, s_last]
+    * event-time bounds (epoch seconds), event count, value cents. */
+  final case class SessionOut(user_id: Long, s_start: Long, s_last: Long,
+                              n_events: Long, sum_cents: Long)
+  /** State record for the open tail session (public: the state encoder's
+    * generated code needs constructor access). */
+  final case class OpenSession(start: Long, last: Long, n: Long,
+                               cents: Long)
+
+  /** Custom sessionization with explicit state — the
+    * `flatMapGroupsWithState` path (vs the declarative
+    * `session_window` of q53): per user, events merge into a session
+    * while gaps stay under `gapSec`; a closed session is emitted exactly
+    * once (Append). The open tail session lives in the state store with
+    * an EVENT-TIME timeout at (last + gap): when the watermark passes it,
+    * the timeout callback emits the session and clears the state — so
+    * state size is bounded by the number of users active within one gap
+    * of the watermark, regardless of total history. */
+  def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
+                       queryName: String,
+                       gapSec: Long = 1800L): StreamingQuery = {
+    import spark.implicits._
+    val ev = eventsStream(spark, dir, schema)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp, Long)]
+    val sessions = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (last + gap): the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.last, s.n, s.cents))
+          } else {
+            val batch = rows.toSeq
+              .map { case (_, ts, cents) => (ts.getTime / 1000, cents) }
+              .sortBy(_._1)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            batch.foreach { case (t, cents) =>
+              open match {
+                case Some(s) if t - s.last < gapSec =>
+                  open = Some(OpenSession(s.start, t, s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.last, s.n, s.cents)
+                  open = Some(OpenSession(t, t, 1L, cents))
+                case None =>
+                  open = Some(OpenSession(t, t, 1L, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapSec) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+    sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
   def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
                       queryName: String): StreamingQuery = {
     import spark.implicits._

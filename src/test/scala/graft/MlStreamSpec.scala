@@ -75,6 +75,56 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer agrees with batch gaps-and-islands") {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val q = StreamingWindows.sessionizeStream(spark, Sf, rawSchema,
+      "sessionize_spec")
+    try {
+      q.processAllAvailable()
+      // event-time timeouts fire in the no-data batch after the
+      // watermark advances; poll until output stabilizes
+      var prev = -1L
+      var rows = 0L
+      val deadline = System.currentTimeMillis() + 30000
+      while ((rows == 0 || rows != prev) &&
+          System.currentTimeMillis() < deadline) {
+        prev = rows
+        Thread.sleep(1000)
+        q.processAllAvailable()
+        rows = spark.table("sessionize_spec").count()
+      }
+      val streamed = spark.table("sessionize_spec")
+        .select("user_id", "s_start", "n_events", "sum_cents")
+        .as[(Long, Long, Long, Long)].collect().toSet
+
+      // batch truth: gaps-and-islands over the same events
+      val e = Tables.events(spark, Sf)
+        .select(col("user_id").cast("long").as("u"),
+          unix_timestamp(col("ts")).as("t"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val w = Window.partitionBy("u").orderBy("t")
+      val sess = e
+        .withColumn("new_s",
+          when(col("t") - lag("t", 1).over(w) < 1800, 0).otherwise(1))
+        .withColumn("sid", sum("new_s").over(
+          Window.partitionBy("u").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("u", "sid")
+        .agg(min("t").as("s_start"), max("t").as("s_last"),
+          count(lit(1)).as("n"), sum("cents").as("cents"))
+      val maxT = e.agg(max("t")).as[Long].head()
+      // sessions still within one gap of stream end stay open (in state)
+      val expected = sess.filter(col("s_last") + 1800 <= maxT)
+        .select(col("u"), col("s_start"), col("n"), col("cents"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == expected,
+        s"stream=${streamed.size} expected=${expected.size}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState user stats agree with batch counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
