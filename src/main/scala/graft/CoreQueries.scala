@@ -114,8 +114,12 @@ object CoreQueries {
         val li = Tables.lineitem(s, d)
         val o  = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         val c  = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        // no broadcast hint on customer: it scales with SF (unlike the
+        // fixed-size nation/region dims of q09) — AQE broadcasts from
+        // runtime stats while it fits and degrades to shuffle, not a
+        // driver OOM, when it doesn't
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
             sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -130,7 +134,7 @@ object CoreQueries {
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "reference fmreg.py:27 complete.join(ratings,'BGGId'); dim side broadcast"),
+      doc = "reference fmreg.py:27 complete.join(ratings,'BGGId'); AQE picks the dim-side strategy"),
 
     // ---- J4 right outer join -------------------------------------------
     GQuery("q08_join_right",

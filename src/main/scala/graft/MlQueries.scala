@@ -23,7 +23,8 @@ object MlQueries {
         col("l_tax"))
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"),
       col("p_size"))
-    val df = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    // part scales with SF — leave the join strategy to AQE stats
+    val df = li.join(p, li("l_partkey") === p("p_partkey"))
       .withColumn("buckets", when(col("l_quantity") < 25, 0.0).otherwise(1.0))
     // (l_orderkey, l_linenumber) is a unique key → the sample under the
     // limit is fully deterministic (TakeOrderedAndProject, no tie
