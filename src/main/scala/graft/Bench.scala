@@ -41,7 +41,10 @@ object Bench {
       (q.name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) "-1" else f"$v%.3f")
+      // Locale.ROOT: a comma-decimal default locale would break the
+      // one-JSON-line contract
+      "\"" + k + "\":" + (if (err.isDefined) "-1"
+        else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\""

@@ -141,11 +141,16 @@ object MlQueries {
           .select(col("l_orderkey"), col("l_linenumber"),
             col("prediction").as("p2"))
         val joined = a.join(b, Seq("l_orderkey", "l_linenumber"))
-        val out = joined.agg(
+        // materialize the 1-row comparison BEFORE unpersisting: the agg is
+        // lazy, and Bench/Verify execute it only after this fn returns —
+        // unpersisting first would recompute the whole labeled() lineage
+        // once per transform branch
+        val (nRows, nDiff) = joined.agg(
           count(lit(1)).as("n_rows"),
           sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_diff"))
+          .as[(Long, Long)].head()
         df.unpersist()
-        out
+        Seq((nRows, nDiff)).toDF("n_rows", "n_diff")
       },
       None,
       doc = "S5 MLWritable save + load roundtrip (reference bgrfunctions.py:228,262,298,328,360); loaded model must predict identically")

@@ -110,6 +110,9 @@ object Dedup {
     * the joined band-signature string. */
   def minhashBuckets(shIds: DataFrame, idCol: String, numHashes: Int,
                      rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — a partial band would silently drop hashes")
     val mins = (0 until numHashes).map { i =>
       val a = (i + 1) * 387420489L % MinhashPrime
       val b = ((i + 1) * 1299709L + 104729L) % MinhashPrime

@@ -20,10 +20,11 @@ object RelationalOps {
     * reference.
     *
     * Scale: the two aggregated sides carry one row per distinct key —
-    * orders of magnitude smaller than the fact — so both semi joins are
-    * broadcast-eligible; AQE picks broadcast-hash from runtime stats. At
-    * 100 TB the fact never shuffles: two scans produce tiny dictionaries,
-    * then two broadcast semi joins stream map-side.
+    * usually orders of magnitude smaller than the fact — so AQE picks a
+    * broadcast-hash semi join from runtime stats while they fit (fact
+    * streams map-side, no fact shuffle), and falls back to a shuffled
+    * semi join when a dictionary outgrows the broadcast limit — a slower
+    * plan, never a driver OOM.
     */
   def trimLowImportance(fact: DataFrame, keyA: String, minA: Long,
                         keyB: String, minB: Long): DataFrame = {

@@ -115,8 +115,15 @@ class MlStreamSpec extends AnyFunSuite {
         .agg(min("t").as("s_start"), max("t").as("s_last"),
           count(lit(1)).as("n"), sum("cents").as("cents"))
       val maxT = e.agg(max("t")).as[Long].head()
-      // sessions still within one gap of stream end stay open (in state)
-      val expected = sess.filter(col("s_last") + 1800 <= maxT)
+      // expected emissions: every non-last session closes in-batch (the
+      // next event's arrival proves the gap); a user's LAST session only
+      // emits via event-time timeout, which fires on watermark STRICTLY
+      // past (last + gap)
+      val lastSid = Window.partitionBy("u")
+      val expected = sess
+        .withColumn("max_sid", max("sid").over(lastSid))
+        .filter(col("sid") < col("max_sid") ||
+          col("s_last") + 1800 < maxT)
         .select(col("u"), col("s_start"), col("n"), col("cents"))
         .as[(Long, Long, Long, Long)].collect().toSet
       assert(streamed.nonEmpty)
