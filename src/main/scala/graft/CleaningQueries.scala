@@ -138,6 +138,69 @@ object CleaningQueries {
              |  THEN c_acctbal >= q1 - (q3 - q1) AND c_acctbal <= q3 + (q3 - q1)
              |  ELSE c_acctbal > q1 - (q3 - q1) AND c_acctbal < q3 + (q3 - q1) END
              |ORDER BY c_custkey""".stripMargin),
-      doc = "reference bgrfunctions.py:369-393 remove_outliers on a real column")
+      doc = "reference bgrfunctions.py:369-393 remove_outliers on a real column"),
+
+    // ---- the whole cleaning tier as ONE lineage -------------------------
+    GQuery("q57_clean_pipeline",
+      (s, d) => {
+        // the reference runs this as four processes with CSV handoffs
+        // (SURVEY §3.2 phases A–D, datacleaning.py); here it is one
+        // declarative lineage: sentinel→null ×2, mode fill, mean fill,
+        // positive-value filter, IQR outlier fences, discretize, flags→
+        // categorical — Catalyst sees every step and the table streams
+        // once per aggregate it feeds
+        val p0 = Tables.part(s, d)
+          .select("p_partkey", "p_size", "p_retailprice", "p_brand", "p_type")
+        val p1 = CleaningOps.sentinelToNull(p0, "p_brand", lit("Brand#4"))
+        val p2 = CleaningOps.fillWithMode(p1, "p_brand")
+        val p3 = p2.withColumn("p_size",
+          when(col("p_size") > 45, lit(null)).otherwise(col("p_size")))
+        val p4 = CleaningOps.fillWithMean(p3, "p_size")
+        val p5 = p4.filter(col("p_retailprice") > 0)
+        val p6 = graft.ops.RelationalOps.removeOutliersIqr(p5,
+          Seq("p_retailprice"))
+        val p7 = graft.ops.RelationalOps.discretize(p6, "p_retailprice",
+          1000.0, "pricey_bucket")
+        CleaningOps.binaryToCategorical(p7,
+          Seq("big" -> (col("p_size") >= 30),
+            "steel" -> col("p_type").contains("STEEL")), "tags")
+          .select(col("p_partkey"), round(col("p_size"), 4).as("p_size_f"),
+            round(col("p_retailprice"), 2).as("price"),
+            col("p_brand"), col("pricey_bucket"), col("tags"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p1 AS (
+             |  SELECT p_partkey, p_size, p_retailprice, p_type,
+             |    CASE WHEN part.p_brand = 'Brand#4' THEN NULL
+             |         ELSE part.p_brand END AS p_brand
+             |  FROM part),
+             |md AS (SELECT p_brand AS mode_val FROM p1
+             |       WHERE p_brand IS NOT NULL
+             |       GROUP BY 1 ORDER BY count(*) DESC, p_brand LIMIT 1),
+             |p2 AS (SELECT p_partkey,
+             |         CASE WHEN p1.p_size > 45 THEN NULL ELSE p1.p_size END AS p_size,
+             |         p_retailprice, p_type,
+             |         coalesce(p1.p_brand, (SELECT mode_val FROM md)) AS p_brand
+             |       FROM p1),
+             |mn AS (SELECT avg(p_size) AS mean_size FROM p2),
+             |p4 AS (SELECT p_partkey,
+             |         coalesce(CAST(p2.p_size AS DOUBLE), (SELECT mean_size FROM mn)) AS p_size,
+             |         p_retailprice, p_type, p_brand
+             |       FROM p2),
+             |p5 AS (SELECT * FROM p4 WHERE p_retailprice > 0),
+             |q AS (SELECT quantile_cont(p_retailprice, 0.25) AS q1,
+             |             quantile_cont(p_retailprice, 0.75) AS q3 FROM p5),
+             |p6 AS (SELECT p5.* FROM p5, q
+             |       WHERE CASE WHEN q3 = q1
+             |         THEN p_retailprice >= q1 - (q3 - q1) AND p_retailprice <= q3 + (q3 - q1)
+             |         ELSE p_retailprice > q1 - (q3 - q1) AND p_retailprice < q3 + (q3 - q1) END)
+             |SELECT p_partkey, round(p_size, 4) AS p_size_f,
+             |  round(p_retailprice, 2) AS price, p_brand,
+             |  CASE WHEN p_retailprice < 1000 THEN 0.0 ELSE 1.0 END AS pricey_bucket,
+             |  concat_ws(', ',
+             |    CASE WHEN p_size >= 30 THEN 'big' END,
+             |    CASE WHEN p_type LIKE '%STEEL%' THEN 'steel' END) AS tags
+             |FROM p6 ORDER BY p_partkey""".stripMargin),
+      doc = "the reference's clean_complete_database pipeline (bgrfunctions.py:79-140, four processes + CSV handoffs) as ONE declarative lineage")
   )
 }

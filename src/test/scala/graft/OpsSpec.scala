@@ -132,6 +132,21 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 100)
   }
 
+  test("CSV inferSchema roundtrip preserves values and types") {
+    val df = Seq((1L, "alpha", 12.75), (2L, "beta", -3.5))
+      .toDF("id", "name", "score")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    graft.sources.Sources.writeCsv(df, tmp)
+    val back = graft.sources.Sources.csv(spark, tmp) // S1 inferred-schema path
+    // inference picks the narrowest integral type (int here, like the
+    // reference's inferSchema=True runs)
+    assert(back.schema.map(_.dataType.typeName).toSeq ==
+      Seq("integer", "string", "double"))
+    assert(back.selectExpr("cast(id as long)", "name", "score")
+      .as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "alpha", 12.75), (2L, "beta", -3.5)))
+  }
+
   test("minMaxScale maps to [0,1] with endpoints hit") {
     val df = Seq(10.0, 20.0, 30.0).toDF("x")
     val scaled = RelationalOps.minMaxScale(df, "x", "s")
