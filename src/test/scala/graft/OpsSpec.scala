@@ -60,6 +60,18 @@ class OpsSpec extends AnyFunSuite {
     assert(idx == Map("y" -> 0L, "z" -> 1L, "x" -> 2L))
   }
 
+  test("StringIndexer (M1) ranks by descending frequency like the relational analog") {
+    // SURVEY §7.3: the ML dictionary (reference PDF §3 'most frequent
+    // label gets index 0') must agree with frequencyIndex on untied data
+    val df = Seq("a", "b", "b", "c", "c", "c").toDF("v")
+    val ml = graft.ml.FeaturePipeline.indexString(df, "v", "v_idx")
+      .select("v", "v_idx").as[(String, Double)].collect()
+      .toSet.map((t: (String, Double)) => (t._1, t._2.toLong))
+    val rel = RelationalOps.frequencyIndex(df, "v")
+      .select("v", "idx").as[(String, Long)].collect().toSet
+    assert(ml == rel && rel == Set(("c", 0L), ("b", 1L), ("a", 2L)))
+  }
+
   test("topKPerGroup emits at most k rows per group, rank contiguous") {
     val df = Seq(("g1", 5.0), ("g1", 3.0), ("g1", 9.0), ("g2", 1.0))
       .toDF("g", "s")
@@ -137,6 +149,10 @@ class OpsSpec extends AnyFunSuite {
       .toDF("id", "name", "score")
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
     graft.sources.Sources.writeCsv(df, tmp)
+    // scale-path sink: one file per partition, no single-task funnel
+    val tmpD = java.nio.file.Files.createTempDirectory("graft_csvd_spec").toString
+    graft.sources.Sources.writeCsvDistributed(df.repartition(3), tmpD)
+    assert(new java.io.File(tmpD).listFiles().count(_.getName.endsWith(".csv")) > 1)
     val back = graft.sources.Sources.csv(spark, tmp) // S1 inferred-schema path
     // inference picks the narrowest integral type (int here, like the
     // reference's inferSchema=True runs)
