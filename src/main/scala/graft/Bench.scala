@@ -28,6 +28,9 @@ object Bench {
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one trivial action before timing: JVM/codegen/scheduler init should
+    // not be attributed to whichever query happens to run first
+    spark.range(100).count()
     val results = QueryRegistry.all.map { q =>
       val t0 = System.nanoTime()
       val err: Option[String] = try {

@@ -211,6 +211,31 @@ object MiscQueries {
              |ORDER BY p_partkey, metric""".stripMargin),
       doc = "unpivot/melt: wide columns to (key, metric, value) rows — row-local Expand, no shuffle"),
 
+    // ---- spark.sql surface ----------------------------------------------
+    GQuery("q58_sql_api",
+      (s, d) => {
+        // the engine's second query surface: register the fixtures as
+        // temp views and run ANSI SQL through spark.sql — same Catalyst
+        // plan as the DataFrame form, same oracle
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_orderpriority,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS price_cents
+          FROM lineitem_v JOIN orders_v ON l_orderkey = o_orderkey
+          WHERE l_quantity >= 10
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_quantity >= 10
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "spark.sql over temp views — the SQL query surface, same Catalyst plan and oracle as the DataFrame form"),
+
     // ---- P12 column-name sanitization -----------------------------------
     GQuery("q45_sanitize_names",
       (s, d) => CleaningOps.sanitizeNames(
