@@ -23,6 +23,11 @@ object StreamDemo {
       case "tumbling"   => StreamingWindows.runTumblingStream(spark, sfDir, schema, "demo")
       case "userstats"  => StreamingWindows.userStatsStream(spark, sfDir, schema, "demo")
       case "sessionize" => StreamingWindows.sessionizeStream(spark, sfDir, schema, "demo")
+      case "enrich" =>
+        import org.apache.spark.sql.functions._
+        val dim = Tables.events(spark, sfDir).groupBy("user_id")
+          .agg(count(lit(1)).as("hist_n"))
+        StreamingWindows.enrichStream(spark, sfDir, schema, dim, "demo")
     }
     q.processAllAvailable()
     // let event-time timeouts / watermark-close no-data batches fire

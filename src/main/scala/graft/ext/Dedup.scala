@@ -135,7 +135,15 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing any (band, bucket). Buckets larger
     * than `maxBucketSize` are dropped (boilerplate guard — at 100 TB a
-    * single all-identical-header bucket would otherwise emit O(n²) pairs). */
+    * single all-identical-header bucket would otherwise emit O(n²) pairs).
+    *
+    * Deliberate shape: count-filter-then-self-join, NOT
+    * `collect_list`-per-bucket with row-local pair explosion. The latter
+    * would halve the lineage passes but materializes an entire bucket in
+    * one aggregation buffer BEFORE any size filter can apply — an
+    * executor OOM on exactly the degenerate buckets the cap exists for.
+    * The join recomputes the bucket lineage once per side; that is the
+    * cost of never holding an unbounded bucket in memory. */
   def minhashCandidates(buckets: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
     val sized = buckets.groupBy("band", "bucket")

@@ -126,6 +126,23 @@ object StreamingWindows {
       .start()
   }
 
+  /** Stream-static enrichment join: the events stream joined with a
+    * static dimension (here: per-user historical totals computed batch-
+    * side). The static side is planned once per micro-batch; when it is
+    * broadcastable the stream never shuffles — the standard shape for
+    * enriching a 100 TB/day event stream with reference data. */
+  def enrichStream(spark: SparkSession, dir: String, schema: StructType,
+                   staticDim: org.apache.spark.sql.DataFrame,
+                   queryName: String): StreamingQuery = {
+    val events = eventsStream(spark, dir, schema)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val enriched = events.join(broadcast(staticDim), Seq("user_id"), "left")
+    enriched.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
                       queryName: String): StreamingQuery = {
     import spark.implicits._

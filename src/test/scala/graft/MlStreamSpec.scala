@@ -132,6 +132,32 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val dim = Tables.events(spark, Sf).groupBy("user_id")
+      .agg(count(lit(1)).as("hist_n"))
+    val q = StreamingWindows.enrichStream(spark, Sf, rawSchema, dim,
+      "enrich_spec")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_spec")
+        .groupBy("user_id", "hist_n").agg(count(lit(1)).as("n"),
+          sum("cents").as("cents"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Tables.events(spark, Sf)
+        .select(col("user_id"), round(col("value") * 100, 0).cast("long")
+          .as("cents"))
+        .join(dim, Seq("user_id"))
+        .groupBy("user_id", "hist_n").agg(count(lit(1)).as("n"),
+          sum("cents").as("cents"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+      // every event found its dimension row (left join, no null hist_n)
+      assert(spark.table("enrich_spec").filter(col("hist_n").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState user stats agree with batch counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
