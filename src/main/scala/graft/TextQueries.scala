@@ -100,6 +100,24 @@ object TextQueries {
              |ORDER BY doc_id, tok""".stripMargin),
       doc = "TF-IDF: two hash aggs + tok join, 1-row corpus count broadcast; no dictionary, no global sort"),
 
+    // ---- grouped percentiles (per-language length quantiles) ------------
+    GQuery("q59_grouped_percentiles",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("double").as("n_toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(percentile(col("n_toks"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("n_toks"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("n_toks"), lit(0.75)), 4).as("p75"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(quantile_cont(len(string_split(text, ' ')), 0.25), 4) AS p25,
+             |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+             |  round(quantile_cont(len(string_split(text, ' ')), 0.75), 4) AS p75
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "per-group exact percentiles (doc-length quantiles per language) — one hash aggregation, the per-stratum profiling op of a curation pipeline"),
+
     // ---- multimodal metadata plumbing -----------------------------------
     GQuery("q41_multimodal_meta",
       (s, d) => graft.ext.Multimodal.withDecodedMeta(
