@@ -236,6 +236,50 @@ object MiscQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "spark.sql over temp views — the SQL query surface, same Catalyst plan and oracle as the DataFrame form"),
 
+    // ---- JSON column parsing --------------------------------------------
+    GQuery("q60_json_extract",
+      (s, d) => {
+        // events.props is a JSON string; from_json with an explicit
+        // schema is the production path (typed, codegen'd, no sampling
+        // inference pass), vs get_json_object per field
+        val parsed = Tables.events(s, d)
+          .withColumn("p", from_json(col("props"),
+            StructType(Seq(StructField("k", LongType)))))
+        parsed.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p.k")).as("sum_k"),
+            sum(when(col("p.k") > 50, 1L).otherwise(0L)).as("n_big_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "typed JSON parsing of the props column via from_json + schema — the metadata-extraction op of every event/training-data pipeline"),
+
+    // ---- JSON-lines source roundtrip ------------------------------------
+    GQuery("q61_json_roundtrip",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        Tables.events(s, d).select("event_id", "event_type", "value")
+          .write.mode("overwrite").json(tmp)
+        s.read.schema(StructType(Seq(
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+          .json(tmp)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "JSON-lines sink + explicit-schema scan roundtrip — the interchange format of training-data pipelines; lossless double via shortest-roundtrip"),
+
     // ---- P12 column-name sanitization -----------------------------------
     GQuery("q45_sanitize_names",
       (s, d) => CleaningOps.sanitizeNames(
