@@ -280,6 +280,50 @@ object MiscQueries {
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "JSON-lines sink + explicit-schema scan roundtrip — the interchange format of training-data pipelines; lossless double via shortest-roundtrip"),
 
+    // ---- ORC source roundtrip -------------------------------------------
+    GQuery("q62_orc_roundtrip",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("s_acctbal") * 100, 0).cast("long")).as("bal_cents"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |  CAST(sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "ORC sink + scan roundtrip (columnar alternative format; footer schema, predicate pushdown like parquet)"),
+
+    // ---- partitioned layout + partition pruning -------------------------
+    GQuery("q63_partition_pruning",
+      (s, d) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        // hive-style partitioned layout: one directory per event_type —
+        // a filter on the partition column prunes entire directories at
+        // planning time (explain shows PartitionFilters, zero rows read
+        // from other partitions). THE layout lever at 100 TB.
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "hive-partitioned write + partition-pruned scan: the filter eliminates whole directories at planning time (PartitionFilters in the plan)"),
+
     // ---- P12 column-name sanitization -----------------------------------
     GQuery("q45_sanitize_names",
       (s, d) => CleaningOps.sanitizeNames(
