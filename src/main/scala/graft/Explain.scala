@@ -15,12 +15,20 @@ object Explain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE wraps the whole plan pre-execution, hiding codegen subtrees
+      // from debugCodegen — disable it in --codegen mode only
+      .config("spark.sql.adaptive.enabled",
+        (!args.contains("--codegen")).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.contains("--twice")) {
+    if (args.contains("--codegen")) {
+      // dump whole-stage-codegen subtrees + generated Java — used to
+      // confirm custom expressions stay inside codegen stages
+      import org.apache.spark.sql.execution.debug._
+      QueryRegistry.queries(name)(spark, sfDir).debugCodegen()
+    } else if (args.contains("--twice")) {
       // same-session idempotency probe: build + collect the query twice
       // and compare results (catches temp-table / temp-path collisions)
       val r1 = QueryRegistry.queries(name)(spark, sfDir).collect().toSeq
