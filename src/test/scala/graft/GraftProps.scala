@@ -60,6 +60,41 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("saltedJoin == plain inner join for any fact/dim") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(1, 5), Gen.alphaStr.map(_.take(4)))),
+      Gen.listOfN(5, Gen.zip(Gen.choose(1, 5), Gen.alphaStr.map(_.take(4)))),
+      Gen.choose(2, 6)) { (factRows, dimRows, salts) =>
+      (factRows.nonEmpty && dimRows.nonEmpty) ==> {
+        val fact = factRows.toDF("k", "v")
+        val dim = dimRows.toDF("k", "d")
+        val salted = RelationalOps.saltedJoin(fact, dim, "k", salts)
+          .select("k", "v", "d").as[(Int, String, String)]
+          .collect().sorted.toSeq
+        val plain = fact.join(dim, Seq("k"))
+          .select("k", "v", "d").as[(Int, String, String)]
+          .collect().sorted.toSeq
+        salted == plain
+      }
+    }
+
+  property("minhash LSH: identical docs always share every band bucket") =
+    forAll(Gen.listOfN(3, Gen.listOfN(8,
+      Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")))) { wordLists =>
+      wordLists.forall(_.distinct.size >= 4) ==> {
+        // duplicate doc 1 as doc 100: the pair (1, 100) must always be a
+        // candidate — identical shingle sets give identical signatures
+        val texts = wordLists.map(_.mkString(" "))
+        val docs = (texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+          :+ (100L, texts.head)).toDF("doc_id", "text")
+        val sh = graft.ext.Dedup.shingles(docs, "doc_id", "text", 3)
+        val ids = graft.ext.Dedup.shingleIds(sh, useDictionaryIds = false)
+        val bk = graft.ext.Dedup.minhashBuckets(ids, "doc_id", 16, 4)
+        val cand = graft.ext.Dedup.minhashCandidates(bk, "doc_id")
+          .as[(Long, Long)].collect().toSet
+        cand.contains((1L, 100L))
+      }
+    }
+
   property("zipWithRank: ids are 1..n in sorted order") =
     forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
       val xs = raw.distinct
