@@ -19,10 +19,16 @@ object Explain {
       // from debugCodegen — disable it in --codegen mode only
       .config("spark.sql.adaptive.enabled",
         (!args.contains("--codegen")).toString)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // extension sanity: the custom functions must already be resolvable
+    // here — injected at session BUILD time via GraftExtensions, before
+    // any runtime VectorFunctions.register fallback runs
+    println("[explain] graft_cosine_sim injected via spark.sql.extensions: " +
+      spark.catalog.functionExists(graft.functions.VectorFunctions.CosineName))
     if (args.contains("--codegen")) {
       // dump whole-stage-codegen subtrees + generated Java — used to
       // confirm custom expressions stay inside codegen stages

@@ -84,6 +84,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Session-extension entry point: injects the engine's custom functions
+  * at session build time — the deployment path for a cluster
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`), where every
+  * session gets the functions without any runtime registration call.
+  * [[VectorFunctions.register]] remains the fallback for sessions built
+  * without the extension. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.CosineName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+}
+
 object VectorFunctions {
 
   val CosineName = "graft_cosine_sim"
