@@ -41,11 +41,17 @@ object MlQueries {
       (s, d) => {
         val fit = Recsys.fitAls(Tables.ratings(s, d), "user_id", "item_id",
           "rating", rank = 8, regParam = 0.1, maxIter = 5)
+        // J3 presentation join (reference als.py:48-49: attach the game
+        // Name to each recommendation): item dim broadcast
+        val names = Tables.part(s, d)
+          .select(col("p_partkey").as("item_id"), col("p_name").as("item_name"))
         Recsys.recommendTopK(fit.model, k = 5)
+          .join(broadcast(names), Seq("item_id"), "left")
+          .select("user_id", "rank", "item_id", "item_name", "score")
           .orderBy("user_id", "rank")
       },
       None,
-      doc = "reference als.py end-to-end: ALS fit + recommendForAllUsers + explode/round"),
+      doc = "reference als.py end-to-end: ALS fit + recommendForAllUsers + explode/round + J3 name-dim join (als.py:48-49)"),
 
     // ---- M1–M6 feature pipeline -----------------------------------------
     GQuery("qml51_feature_pipeline",
