@@ -29,9 +29,12 @@ object Bench {
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one trivial action before timing: JVM/codegen/scheduler init should
-    // not be attributed to whichever query happens to run first
+    // warm before timing: JVM/codegen/scheduler init PLUS the Hadoop
+    // FileSystem + parquet datasource stack (range().count() alone never
+    // touches the I/O path, which is the larger first-touch cost) —
+    // none of it should be attributed to whichever query runs first
     spark.range(100).count()
+    spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
     val results = QueryRegistry.all.map { q =>
       val t0 = System.nanoTime()
       val err: Option[String] = try {

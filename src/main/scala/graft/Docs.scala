@@ -14,7 +14,8 @@ object Docs {
       s"| `${q.name}` | $oracle | ${q.doc} |"
     }
     // '#' margin: the markdown table's own '|' would be eaten by the
-    // default stripMargin character
+    // default stripMargin character; the title line carries a doubled
+    // '#' because stripMargin consumes the first one
     val md =
       s"""## Query catalog
          #

@@ -25,8 +25,7 @@ object MiscQueries {
     // ---- S1+S2 CSV sink → scan roundtrip --------------------------------
     GQuery("q42_csv_roundtrip",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val tmp = Staging.dir("csv", d)
         Sources.writeCsv(
           Tables.customer(s, d).select("c_custkey", "c_mktsegment",
             "c_acctbal"),
@@ -128,8 +127,7 @@ object MiscQueries {
     // ---- bucketed co-located join (exchange-free) -----------------------
     GQuery("q49_bucketed_join",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val tmp = Staging.dir("bucketed", d)
         Sources.writeBucketed(
           Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
           "graft_li_b", s"$tmp/li", "l_orderkey", 8)
@@ -261,8 +259,7 @@ object MiscQueries {
     // ---- JSON-lines source roundtrip ------------------------------------
     GQuery("q61_json_roundtrip",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val tmp = Staging.dir("json", d)
         Tables.events(s, d).select("event_id", "event_type", "value")
           .write.mode("overwrite").json(tmp)
         s.read.schema(StructType(Seq(
@@ -283,8 +280,7 @@ object MiscQueries {
     // ---- ORC source roundtrip -------------------------------------------
     GQuery("q62_orc_roundtrip",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val tmp = Staging.dir("orc", d)
         Tables.supplier(s, d).select("s_suppkey", "s_nationkey", "s_acctbal")
           .write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
@@ -301,8 +297,7 @@ object MiscQueries {
     // ---- partitioned layout + partition pruning -------------------------
     GQuery("q63_partition_pruning",
       (s, d) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val tmp = Staging.dir("partitioned", d)
         // hive-style partitioned layout: one directory per event_type —
         // a filter on the partition column prunes entire directories at
         // planning time (explain shows PartitionFilters, zero rows read

@@ -136,8 +136,7 @@ object MlQueries {
         val df = labeled(s, d).persist()
         val (fitted, reloaded) = Classifiers.saveLoadRoundtrip(df,
           "scaled_features", "buckets",
-          s"${System.getProperty("java.io.tmpdir")}/graft_model_" +
-            d.replaceAll("[^A-Za-z0-9.]", "_"))
+          Staging.dir("model", d))
         // prediction parity between the in-memory and reloaded model:
         // every row must agree (n_diff = 0)
         val a = fitted.transform(df)

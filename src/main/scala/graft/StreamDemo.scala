@@ -5,7 +5,7 @@ import graft.streaming.StreamingWindows
 
 /** Dev tool: run one of the streaming wrappers against a static fixture
   * dir and print the sink contents once the stream drains. Usage:
-  * `runMain graft.StreamDemo <tumbling|userstats|sessionize> [sfDir]`. */
+  * `runMain graft.StreamDemo <tumbling|userstats|sessionize|enrich> [sfDir]`. */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
     val mode = args(0)
@@ -29,6 +29,9 @@ object StreamDemo {
         val dim = Tables.events(spark, sfDir).groupBy("user_id")
           .agg(count(lit(1)).as("hist_n"))
         StreamingWindows.enrichStream(spark, sfDir, schema, dim, "demo")
+      case other =>
+        sys.error(s"unknown mode '$other' — expected one of: " +
+          "tumbling, userstats, sessionize, enrich")
     }
     q.processAllAvailable()
     // let event-time timeouts / watermark-close no-data batches fire

@@ -96,12 +96,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.CosineName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      VectorFunctions.cosineBuilder))
 }
 
 object VectorFunctions {
 
   val CosineName = "graft_cosine_sim"
+
+  /** Shared builder with an arity check: silently dropping extra args
+    * (or throwing IndexOutOfBounds on too few) would be a wrong-result /
+    * unreadable-error hazard for SQL users of the injected function. */
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$CosineName expects exactly 2 arguments (array<double>, " +
+        s"array<double>); got ${exprs.length}")
+  }
 
   /** Register the expression in the session's function registry (public
     * Catalyst API — Column-from-Expression constructors are private[sql]
@@ -109,9 +119,7 @@ object VectorFunctions {
     * Idempotent; cheap enough to call per query build. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName,
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "internal")
+      CosineName, cosineBuilder, "internal")
 
   /** Column wrapper: fused codegen cosine similarity. Requires
     * [[register]] to have run on the executing session. */

@@ -104,6 +104,20 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 3L)) - 0.707107) < 1e-6)
   }
 
+  test("graft_cosine_sim rejects wrong arity with a clear error") {
+    graft.functions.VectorFunctions.register(spark)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_cosine_sim(array(1.0d))").collect()
+    }
+    assert(e1.getMessage.contains("expects exactly 2"))
+    val e3 = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_cosine_sim(array(1.0d), array(1.0d), array(1.0d))")
+        .collect()
+    }
+    assert(e3.getMessage.contains("expects exactly 2"))
+  }
+
   test("native codegen cosine == HOF cosine bit-for-bit") {
     graft.functions.VectorFunctions.register(spark)
     val rnd = new scala.util.Random(3)
