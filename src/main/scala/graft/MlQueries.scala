@@ -81,6 +81,29 @@ object MlQueries {
       None,
       doc = "PCA k=8 over the embedding column (reference bgrfunctions.py:172-177, k=15)"),
 
+    // ---- M5 PCA explained variance (k-selection diagnostic) -------------
+    GQuery("qml57_pca_variance",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        // the reference picks k from the cumulative explained-variance
+        // curve (data_cleaning.py:122 prints the cumsum; PDF §2.2.3:
+        // "15 PCs retain >90% variance")
+        val e = Tables.embeddings(s, d).withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(
+            col("embedding").cast("array<double>")))
+        val model = new org.apache.spark.ml.feature.PCA()
+          .setInputCol("features").setOutputCol("pca").setK(16).fit(e)
+        val ev = model.explainedVariance.toArray
+        ev.zipWithIndex.map { case (v, i) =>
+          (i + 1, math.rint(v * 1e6) / 1e6,
+            math.rint(ev.take(i + 1).sum * 1e6) / 1e6)
+        }.toSeq.toDF("component", "explained_var", "cum_var")
+          .orderBy("component")
+      },
+      None, // eigen-decomposition is not SQL-expressible → rows-only
+      doc = "M5 diagnostic: per-component explained variance + cumsum, the k-selection curve (reference data_cleaning.py:122, PDF §2.2.3)"),
+
     // ---- M9–M13 classifier family metrics -------------------------------
     GQuery("qml53_classifiers",
       (s, d) => {
