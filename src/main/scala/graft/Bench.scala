@@ -34,8 +34,19 @@ object Bench {
     // touches the I/O path, which is the larger first-touch cost) —
     // none of it should be attributed to whichever query runs first
     spark.range(100).count()
-    spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
-    val results = QueryRegistry.all.map { q =>
+    // best-effort: an unreadable sfDir must surface as per-query -1 rows
+    // (the honesty contract), not kill the run before the first query
+    try spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup read failed: $e")
+    }
+    // SPARK_GRAFT_ONLY=q31,q32 — iterate on a subset without paying the
+    // full-suite wall-clock; the driver never sets it (full run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = QueryRegistry.all
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       val err: Option[String] = try {
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -45,7 +56,13 @@ object Bench {
           System.err.println(s"[bench] ${q.name} FAILED: $e")
           Some(e.getClass.getSimpleName)
       }
-      (q.name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // outside the timer: release frames/RDDs the multi-pass ops leave
+      // persisted for their consumers, so no query inherits cache pressure
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (q.name, elapsed, err)
     }
     val qs = results.map { case (k, v, err) =>
       // Locale.ROOT: a comma-decimal default locale would break the

@@ -31,6 +31,13 @@ object Verify {
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name FAILED: $e")
           Some(name -> e.toString.take(500))
+        } finally {
+          // multi-pass ops leave their (bounded) output frames and
+          // dictionary RDDs persisted for their consumers; release them
+          // between queries so cache residency never accumulates
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -56,14 +56,18 @@ object Dedup {
     * Output: (id_a, id_b, common, n_a, n_b) with id_a < id_b. */
   def jaccardPairs(sh: DataFrame, idCol: String,
                    maxDf: Long = 1000L): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // The shingle frame fans out four ways (sizes, stop list, both join
+    // sides): persist it once — unpersisted, the shingling lineage (at
+    // 100 TB: the full corpus scan) re-runs per consumer.
+    val s = RelationalOps.materialized(sh)
+    val sizes = s.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // The STOP list (df > maxDf) is tiny by construction — boilerplate
     // shingles are few in distinct count — so an anti join against it is
     // broadcast-eligible and the full shingle set is NOT re-shuffled
     // (a semi join on the huge keep-list would shuffle everything twice).
-    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val stop = s.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
-    val pruned = sh.join(stop, Seq("shingle"), "left_anti")
+    val pruned = s.join(stop, Seq("shingle"), "left_anti")
     val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
     val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
     // SHUFFLE_HASH hint: post-explode size estimates are far below real
@@ -71,15 +75,19 @@ object Dedup {
     // shingle set (observed at sf0.1) — a driver OOM at scale. Hinting
     // forces a shuffled hash join partitioned by shingle; both sides are
     // identical subplans, so the exchange is reused.
-    a.join(b.hint("shuffle_hash"), Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
-      .join(sizes.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+    val out = RelationalOps.materialized(
+      a.join(b.hint("shuffle_hash"), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+        .join(sizes.withColumnRenamed(idCol, "id_a")
+          .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+        .join(sizes.withColumnRenamed(idCol, "id_b")
+          .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+        .withColumn("jaccard",
+          col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common"))))
+    s.unpersist()
+    out
   }
 
   /** Shingle → integer id. Dictionary path: rank-by-sort (deterministic in
@@ -142,20 +150,27 @@ object Dedup {
     * would halve the lineage passes but materializes an entire bucket in
     * one aggregation buffer BEFORE any size filter can apply — an
     * executor OOM on exactly the degenerate buckets the cap exists for.
-    * The join recomputes the bucket lineage once per side; that is the
-    * cost of never holding an unbounded bucket in memory. */
+    * The (id, band, bucket) frame is bounded (one row per doc per band)
+    * and spillable, so it is persisted once and every consumer — the size
+    * count and both self-join sides — scans the cache: the expensive
+    * lineage above it (shingles → dictionary → signature aggregation)
+    * runs exactly once, not once per consumer. */
   def minhashCandidates(buckets: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val sized = buckets.groupBy("band", "bucket")
+    val bk = RelationalOps.materialized(buckets)
+    val sized = bk.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
-    val b = buckets.join(sized.select("band", "bucket"), Seq("band", "bucket"))
-    b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-      .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-        .hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val b = bk.join(sized.select("band", "bucket"), Seq("band", "bucket"))
+    val out = RelationalOps.materialized(
+      b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+        .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+          .hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
+          Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+    bk.unpersist()
+    out
   }
 
   /** 16-bit SimHash from per-doc distinct token ids: bit b of token t is
@@ -189,18 +204,24 @@ object Dedup {
       val w  = (s + 1) * bits / nSeg - lo
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
     }: _*)
-    val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(segVals).as(Seq("seg", "segval")))
+    // persist the segmented frame: both self-join sides consume it, and
+    // its lineage (tokens → dictionary → signature) must run once, not twice
+    val banded = RelationalOps.materialized(
+      sh.select(col(idCol), col("simhash"),
+        posexplode(segVals).as(Seq("seg", "segval"))))
     val a = banded.select(col("seg"), col("segval"),
       col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("seg"), col("segval"),
       col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.join(b.hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
-        Seq("seg", "segval"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val out = RelationalOps.materialized(
+      a.join(b.hint("shuffle_hash"), // post-explode estimates undercount: no broadcast
+          Seq("seg", "segval"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+        .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming"))
+    banded.unpersist()
+    out
   }
 }

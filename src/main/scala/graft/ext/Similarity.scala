@@ -100,10 +100,16 @@ object Similarity {
                      threshold: Double,
                      maxBucketSize: Int = 1000): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
+    // `e` feeds the banding pass AND both exact-rescore joins; `banded`
+    // feeds the size count and both candidate self-join sides — persist
+    // each once so the hyperplane hashing (O(bands·bits·dims) per row)
+    // and the source scan run once, not per consumer.
     val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val banded = e.select(col(idCol),
-      posexplode(lshBandBuckets(col("v"), dims, bands, bitsPerBand))
-        .as(Seq("band", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = RelationalOps.materialized(
+      e.select(col(idCol),
+        posexplode(lshBandBuckets(col("v"), dims, bands, bitsPerBand))
+          .as(Seq("band", "bucket"))))
     val sized = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
@@ -114,12 +120,15 @@ object Similarity {
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val out = RelationalOps.materialized(cand
       .join(e.select(col(idCol).as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(e.select(col(idCol).as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("cos_sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+      .select("id_a", "id_b", "cos_sim"))
+    banded.unpersist()
+    e.unpersist()
+    out
   }
 
   /** ANN: exact cosine top-k, but only within sign-LSH buckets. Recall is
@@ -131,8 +140,12 @@ object Similarity {
                       dims: Int, nBits: Int, k: Int,
                       maxBucketSize: Int = 1000): DataFrame = {
     graft.functions.VectorFunctions.register(df.sparkSession)
-    val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", lshBucketInt(col("v"), dims, nBits))
+    // persist the bucketed frame: the size count and both in-bucket join
+    // sides consume it — the hyperplane hashing must run once per row,
+    // not once per consumer
+    val e = RelationalOps.materialized(
+      df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+        .withColumn("bucket", lshBucketInt(col("v"), dims, nBits)))
     val sized = e.groupBy("bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
     val eb = e.join(sized.select("bucket"), Seq("bucket"))
@@ -142,10 +155,12 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("xv")), 6))
       .select("bucket", "query_id", "neighbor_id", "score")
-    RelationalOps.topKPerGroup(scored,
+    val out = RelationalOps.materialized(RelationalOps.topKPerGroup(scored,
       part = Seq(col("query_id")),
       order = Seq(col("score").desc, col("neighbor_id").asc),
-      k = k, rankCol = "rank")
+      k = k, rankCol = "rank"))
+    e.unpersist()
+    out
   }
 
   /** IVF (inverted-file) ANN — the centroid-partitioned scale path, the
@@ -163,12 +178,18 @@ object Similarity {
     graft.functions.VectorFunctions.register(df.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
+    // persist `e`: the iterative KMeans fit and the assignment transform
+    // both consume the array→vector conversion lineage
+    val e = RelationalOps.materialized(
+      df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+        .withColumn("features", array_to_vector(col("v"))))
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell").fit(e)
-    val assigned = model.transform(e)
-      .select(col(idCol), col("v"), col("cell"))
+    // persist `assigned`: the probe ranking and the in-cell scoring join
+    // are independent consumers of the cell assignment
+    val assigned = RelationalOps.materialized(model.transform(e)
+      .select(col(idCol), col("v"), col("cell")))
+    e.unpersist()
     val spark = df.sparkSession
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex
@@ -190,10 +211,12 @@ object Similarity {
       .filter(col("query_id") =!= col(idCol))
       .withColumn("score", round(cosine(col("qv"), col("v")), 6))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"))
-    RelationalOps.topKPerGroup(scored,
+    val out = RelationalOps.materialized(RelationalOps.topKPerGroup(scored,
       part = Seq(col("query_id")),
       order = Seq(col("score").desc, col("neighbor_id").asc),
-      k = k, rankCol = "rank")
+      k = k, rankCol = "rank"))
+    assigned.unpersist()
+    out
   }
 
   /** Sign of deterministic hyperplane `j` (global plane index) applied to

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 /** The reference's relational operator surface, re-expressed as reusable
   * Spark-native combinators (SURVEY.md §2.2–§2.5). Everything is
@@ -12,6 +13,20 @@ import org.apache.spark.sql.types.LongType
   * scalar aggregates that feed broadcast joins.
   */
 object RelationalOps {
+
+  /** Persist `df` (MEMORY_AND_DISK — bounded memory, spills, never OOMs)
+    * and materialize it with one count job, so every later consumer scans
+    * the cache instead of re-running the lineage. The tool for operators
+    * whose shared intermediate (shingle / bucket / banded frame) fans out
+    * into a sized-filter + self-join: without it the lineage above the
+    * fan-out runs once PER consumer — at 100 TB that is re-reading the
+    * corpus ~4×. Callers own the returned handle and must `unpersist()`
+    * it once their own output is materialized. */
+  def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
 
   /** J1 — "trim low-importance elements", the reference's most distinctive
     * relational op (reference `PySpark Scripts/bgrfunctions.py:43-53`):
@@ -52,7 +67,13 @@ object RelationalOps {
     val spark = df.sparkSession
     val sorted = df.sort(sortCols: _*)
     val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    // zipWithIndex launches its own per-partition count job over the
+    // parent BEFORE the mapped RDD is ever consumed — unpersisted, the
+    // distributed sort would run twice (once for the size pass, once per
+    // downstream consumer). _SER: dictionaries are long skinny string
+    // frames; serialized blocks keep the cache compact.
+    val sortedRdd = sorted.rdd.persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val rows = sortedRdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + startAt))
     }
     spark.createDataFrame(rows, schema)
