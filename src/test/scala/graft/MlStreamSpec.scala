@@ -43,6 +43,34 @@ class MlStreamSpec extends AnyFunSuite {
     assert(p1.toSeq == p2.toSeq)
   }
 
+  test("strictParity replicates the reference's degenerate DT metrics; default mode fixes them") {
+    // 200 linearly separable rows, 60% majority class — a sane tree gets
+    // ~perfect accuracy; the reference's minInfoGain ≥ 20 grid rejects
+    // every split (binary impurity gain ≤ 1), leaving a depth-0
+    // majority-class tree, and its ROC-on-hard-predictions quirk then
+    // scores that constant predictor at exactly 0.5
+    val raw = (0 until 200).map { i =>
+      if (i % 5 < 3) (i.toDouble % 7, 10.0 + i % 11, 0.0)
+      else (50.0 + i % 7, i.toDouble % 11, 1.0)
+    }.toDF("x1", "x2", "y")
+    val df = FeaturePipeline.assembleAndScale(raw, Seq("x1", "x2"))
+    val strict = Classifiers.decisionTree(df, "scaled_features", "y",
+      strictParity = true)
+    val sane = Classifiers.decisionTree(df, "scaled_features", "y")
+    // replicate the harness's seeded split to get the exact expected
+    // majority-class accuracy on the held-out 20%
+    val Array(tr, te) = df.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val maj = tr.groupBy("y").count().orderBy(col("count").desc)
+      .select("y").as[Double].head()
+    val expectAcc = te.filter(col("y") === maj).count().toDouble / te.count()
+    assert(math.abs(strict.value1 - expectAcc) < 1e-9,
+      s"strict accuracy ${strict.value1} != majority-class $expectAcc")
+    assert(math.abs(strict.value2 - 0.5) < 1e-9,
+      s"strict ROC ${strict.value2} != 0.5")
+    assert(sane.value1 > 0.95 && sane.value2 > 0.95,
+      s"sane mode should separate this data: $sane")
+  }
+
   test("tumbling stream (Append + watermark) agrees with batch on closed windows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
