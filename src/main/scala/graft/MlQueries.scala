@@ -141,6 +141,90 @@ object MlQueries {
       None,
       doc = "FMRegressor through TVS grid (reference bgrfunctions.py:204-236)"),
 
+    // ---- M7+M14: ALS through the TrainValidationSplit grid --------------
+    GQuery("qml58_als_grid",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        // the reference's flagship tuning loop (bgrfunctions.py:179-201):
+        // rank × regParam through TVS, trainRatio 0.8, RMSE-selected.
+        // qml50 stays single-point. Bounded sample (same deterministic
+        // unique-key orderBy+limit as the classifier harness): the grid
+        // fits 5 ALS models — the bench measures the harness, not 5×
+        // full-corpus factorizations.
+        val bounded = Tables.ratings(s, d)
+          .orderBy("user_id", "item_id").limit(100000)
+        val r = Recsys.fitAlsGrid(bounded, "user_id", "item_id",
+          "rating", ranks = Seq(8, 12), regParams = Seq(0.1, 0.01),
+          maxIter = 5)
+        Seq((r.bestRank, r.bestRegParam,
+          math.rint(r.rmse * 1e4) / 1e4, math.rint(r.r2 * 1e4) / 1e4))
+          .toDF("best_rank", "best_reg_param", "rmse", "r2")
+      },
+      None,
+      doc = "ALS tuned via TrainValidationSplit over rank × regParam (reference bgrfunctions.py:179-201); returns the winning params + held-out RMSE/R²"),
+
+    // ---- M1+M2 at design-matrix cardinality ------------------------------
+    GQuery("qml59_high_card_onehot",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        // the reference's defining design matrix one-hots the two ID
+        // columns themselves (fmreg.py:21-24 — 411k users + 349k items =
+        // width 760,549 at full scale, risultati.txt:42). Same shape here:
+        // index+encode the derived user/item ids (thousands of categories
+        // at sf0.1), verify width == category count two independent ways —
+        // sparse metadata (head vector) and a full-data max-index scan.
+        val ids = Tables.ratings(s, d)
+          .select(col("user_id").cast("string").as("user_id"),
+            col("item_id").cast("string").as("item_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val enc = FeaturePipeline.indexAndOneHot(ids,
+          Seq("user_id", "item_id"), dropLast = false)
+        val stats = enc.agg(
+          countDistinct("user_id").as("u_n"),
+          countDistinct("item_id").as("i_n"),
+          (max("user_id_idx") + 1).as("u_max"),
+          (max("item_id_idx") + 1).as("i_max"))
+          .as[(Long, Long, Double, Double)].head()
+        val h = enc.select("user_id_vec", "item_id_vec").head()
+        val widths = (
+          h.getAs[org.apache.spark.ml.linalg.Vector](0).size.toLong,
+          h.getAs[org.apache.spark.ml.linalg.Vector](1).size.toLong)
+        ids.unpersist()
+        Seq(
+          ("user_id", stats._1, stats._3.toLong, widths._1,
+            stats._1 == widths._1 && stats._3.toLong == widths._1),
+          ("item_id", stats._2, stats._4.toLong, widths._2,
+            stats._2 == widths._2 && stats._4.toLong == widths._2))
+          .toDF("id_col", "n_categories", "max_index_plus_1", "onehot_width",
+            "width_matches")
+          .orderBy("id_col")
+      },
+      None,
+      doc = "high-cardinality OneHotEncoder over the raw user/item ids — the reference's sparse design-matrix shape (fmreg.py:21-24, width 760,549 at full scale); onehot width must equal the distinct-id count"),
+
+    // ---- M5 PCA loadings matrix ------------------------------------------
+    GQuery("qml60_pca_loadings",
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        // the reference prints the component loadings themselves
+        // (functions.py:209-215, model.pc): emit the full k × dims matrix
+        val e = Tables.embeddings(s, d).withColumn("features",
+          org.apache.spark.ml.functions.array_to_vector(
+            col("embedding").cast("array<double>")))
+        val model = new org.apache.spark.ml.feature.PCA()
+          .setInputCol("features").setOutputCol("pca").setK(8).fit(e)
+        val pc = model.pc // dims × k, column-major
+        (for (j <- 0 until pc.numCols; i <- 0 until pc.numRows) yield
+          (j + 1, i, math.rint(pc(i, j) * 1e6) / 1e6))
+          .toDF("component", "dim", "loading")
+          .orderBy("component", "dim")
+      },
+      None, // eigen-decomposition is not SQL-expressible → rows-only
+      doc = "M5: the PCA loadings matrix as (component, dim, loading) rows (reference functions.py:209-215 prints model.pc); rows = k × dims"),
+
     // ---- IVF ANN (centroid-partitioned scale path) ----------------------
     GQuery("qml56_knn_ivf",
       (s, d) => graft.ext.Similarity.ivfTopK(Tables.embeddings(s, d),

@@ -21,14 +21,19 @@ object FeaturePipeline {
       .fit(df).transform(df)
 
   /** M1+M2: index + one-hot encode id columns to sparse vectors
-    * (reference `fmreg.py:20-24`). */
-  def indexAndOneHot(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * (reference `fmreg.py:20-24`). `dropLast = false` keeps the encoded
+    * width equal to the category count (the reference's design matrix is
+    * exactly Σ distinct-id widths, `risultati.txt:42`); the default drops
+    * the last category, the collinearity-safe regression convention. */
+  def indexAndOneHot(df: DataFrame, cols: Seq[String],
+                     dropLast: Boolean = true): DataFrame = {
     val indexers = cols.map(c => new StringIndexer()
       .setInputCol(c).setOutputCol(s"${c}_idx")
       .setStringOrderType("frequencyDesc").setHandleInvalid("skip"))
     val ohe = new OneHotEncoder()
       .setInputCols(cols.map(c => s"${c}_idx").toArray)
       .setOutputCols(cols.map(c => s"${c}_vec").toArray)
+      .setDropLast(dropLast)
     new Pipeline().setStages((indexers :+ ohe).toArray).fit(df).transform(df)
   }
 

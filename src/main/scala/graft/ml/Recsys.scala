@@ -40,6 +40,40 @@ object Recsys {
     res
   }
 
+  final case class GridResult(bestRank: Int, bestRegParam: Double,
+                              rmse: Double, r2: Double)
+
+  /** The reference's actual ALS tuning loop (`bgrfunctions.py:179-201`):
+    * TrainValidationSplit over rank × regParam with trainRatio 0.8,
+    * RMSE-selected. Input persisted once — the TVS harness fits
+    * |ranks|·|regParams| + 1 models over the same frame. The flagship
+    * qml50 stays a single point (bench sanity); this is the grid. */
+  def fitAlsGrid(ratings: DataFrame, userCol: String, itemCol: String,
+                 ratingCol: String, ranks: Seq[Int], regParams: Seq[Double],
+                 maxIter: Int = 5, seed: Long = 1L): GridResult = {
+    import org.apache.spark.ml.tuning.ParamGridBuilder
+    val persisted = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val als = new ALS()
+      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+      .setColdStartStrategy("drop") // unseen users/items must not NaN the metric
+      .setMaxIter(maxIter).setSeed(seed)
+    val grid = new ParamGridBuilder()
+      .addGrid(als.rank, ranks.toArray)
+      .addGrid(als.regParam, regParams.toArray).build()
+    val ev = new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol(ratingCol).setPredictionCol("prediction")
+    val best = Classifiers.tvsGrid(als, grid, ev, train)
+    val pred = best.transform(test)
+    val res = GridResult(best.rank,
+      best.parent.asInstanceOf[ALS].getRegParam,
+      ev.evaluate(pred),
+      new RegressionEvaluator().setMetricName("r2").setLabelCol(ratingCol)
+        .setPredictionCol("prediction").evaluate(pred))
+    persisted.unpersist()
+    res
+  }
+
   /** Top-k recommendations per user, exploded and rounded — the
     * reference's presentation shape (`als.py:44-50`: recommendForAllUsers
     * → explode → select rec.* → round). */

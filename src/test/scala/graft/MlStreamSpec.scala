@@ -27,6 +27,24 @@ class MlStreamSpec extends AnyFunSuite {
       (1 to byUser.values.head.length).take(5)))
   }
 
+  test("ALS TVS grid on sf0.001: winner comes from the grid, RMSE under ceiling") {
+    val r = Recsys.fitAlsGrid(Tables.ratings(spark, Sf), "user_id",
+      "item_id", "rating", ranks = Seq(4, 8), regParams = Seq(0.1, 0.01),
+      maxIter = 5)
+    assert(Seq(4, 8).contains(r.bestRank), s"rank=${r.bestRank}")
+    assert(Seq(0.1, 0.01).contains(r.bestRegParam), s"reg=${r.bestRegParam}")
+    // same constant-predictor ceiling as the single-point ALS test
+    assert(r.rmse > 0.0 && r.rmse < 4.2, s"rmse=${r.rmse}")
+  }
+
+  test("high-cardinality one-hot: width equals category count on every row") {
+    val out = QueryRegistry.byName("qml59_high_card_onehot")
+      .fn(spark, Sf)
+      .select("id_col", "width_matches").as[(String, Boolean)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq("item_id", "user_id"))
+    assert(out.forall(_._2), s"width mismatch: ${out.mkString(",")}")
+  }
+
   test("model save/load roundtrip: identical coefficients and predictions") {
     val raw = Seq((1.0, 10.0, 0.0), (2.0, 8.0, 0.0), (6.0, 2.0, 1.0),
       (7.0, 1.0, 1.0), (5.5, 2.5, 1.0), (1.5, 9.0, 0.0))
