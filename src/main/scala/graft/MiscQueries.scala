@@ -43,6 +43,29 @@ object MiscQueries {
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "S2 coalesce(1) header CSV sink + S1 explicit-schema scan, lossless double roundtrip (reference datacleaning.py:26,30)"),
 
+    // ---- S1 inferred-schema CSV scan (the reference's default read) -----
+    GQuery("q64_csv_infer",
+      (s, d) => {
+        val tmp = Staging.dir("csvinfer", d)
+        Sources.writeCsv(
+          Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+          tmp)
+        // inferSchema=true: the reference's actual default ingest
+        // (datacleaning.py:26) — one extra inference pass, types guessed
+        // from the data. Cast the grouping key so the inferred int and
+        // the oracle's parquet type agree.
+        Sources.csv(s, tmp)
+          .groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+          .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+          .orderBy("n_regionkey")
+      },
+      // lossless roundtrip (int/string columns), so the oracle reads the
+      // parquet table directly
+      Some("""SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+             |  count(*) AS n, min(n_name) AS first_name
+             |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "S1 inferred-schema CSV scan — the reference's default ingest (datacleaning.py:26, inferSchema=True); q42 covers the explicit-schema production path"),
+
     // ---- W5 seeded random row pick --------------------------------------
     GQuery("q43_seeded_pick",
       (s, d) => Tables.customer(s, d)

@@ -95,6 +95,34 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("jaccard df-cap: underestimates, never overestimates, any pair") =
+    forAll(Gen.listOfN(5, Gen.listOfN(8,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee"))),
+      Gen.choose(1L, 3L)) { (wordLists, maxDf) =>
+      wordLists.nonEmpty ==> {
+        // tiny vocabulary → shingles repeat across docs → the df cap
+        // actually fires. Claim under test (Dedup.scala stop-shingle
+        // guard): dropping df>maxDf shingles only removes COMMON counts
+        // while |A|,|B| stay true sizes, so every surviving pair's
+        // jaccard is ≤ the uncapped truth — pairs sharing only
+        // boilerplate fall to 0/absent, none are inflated.
+        val docs = wordLists.zipWithIndex
+          .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val sh = graft.ext.Dedup.shingles(docs, "doc_id", "text", 3)
+        val truth = graft.ext.Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000000L)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect()
+          .map { case (a, b, j) => (a, b) -> j }.toMap
+        val capped = graft.ext.Dedup.jaccardPairs(sh, "doc_id", maxDf = maxDf)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect()
+        capped.forall { case (a, b, j) =>
+          truth.get((a, b)).exists(t => j <= t + 1e-12)
+        }
+      }
+    }
+
   property("zipWithRank: ids are 1..n in sorted order") =
     forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
       val xs = raw.distinct
