@@ -66,6 +66,37 @@ object MiscQueries {
              |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "S1 inferred-schema CSV scan — the reference's default ingest (datacleaning.py:26, inferSchema=True); q42 covers the explicit-schema production path"),
 
+    // ---- A2/A6 at scale: sketch-based approximate aggregates ------------
+    GQuery("q66_approx_agg",
+      (s, d) => {
+        // the 100 TB forms of distinct-count and percentile: HyperLogLog++
+        // (fixed-size sketch, map-side combinable — no distinct shuffle)
+        // and t-digest-style percentile_approx (mergeable, single pass).
+        // Approximate values differ per engine, so the oracle checks the
+        // CLAIM, not the value: exact results hash-compared as usual, and
+        // the approximation emitted as a within-tolerance boolean the
+        // oracle expects to be TRUE — a drift past the bound fails the row.
+        val li = Tables.lineitem(s, d)
+        li.agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.01).as("hll"),
+            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("p50a"))
+          .select(col("exact_parts"),
+            (abs(col("hll") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("hll_within_5pct"),
+            round(col("p50"), 2).as("exact_p50"),
+            (abs(col("p50a") - col("p50")) <= col("p50") * 0.02)
+              .as("p50_within_2pct"))
+      },
+      Some("""SELECT count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS hll_within_5pct,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+             |  TRUE AS p50_within_2pct
+             |FROM lineitem""".stripMargin),
+      doc = "A2/A6 scale variants: HyperLogLog++ approx_count_distinct and percentile_approx next to their exact forms; the oracle verifies the error stays inside the declared bound (sketches are the only shapes that survive 100 TB without a distinct shuffle or a global sort)"),
+
     // ---- W5 seeded random row pick --------------------------------------
     GQuery("q43_seeded_pick",
       (s, d) => Tables.customer(s, d)
@@ -214,6 +245,50 @@ object MiscQueries {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin),
       doc = "ROLLUP hierarchy in one pass (partial-agg expand); null grouping keys coalesced for cross-engine sort parity"),
+
+    // ---- pivot (long → wide) --------------------------------------------
+    GQuery("q68_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        // explicit pivot values: skips the extra distinct-values job a
+        // bare pivot() runs first — at 100 TB that job is a full scan.
+        // The reference's ratings_distribution.csv (read_db.py:15) IS
+        // this shape: one count column per pivoted value.
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(round(col("l_quantity") * 100, 0).cast("long")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("f_qty_cents"),
+          coalesce(col("O"), lit(0L)).as("o_qty_cents"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+             |    THEN CAST(round(l_quantity * 100, 0) AS BIGINT) END) AS BIGINT), 0)
+             |    AS f_qty_cents,
+             |  coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+             |    THEN CAST(round(l_quantity * 100, 0) AS BIGINT) END) AS BIGINT), 0)
+             |    AS o_qty_cents
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "pivot long→wide with EXPLICIT values (no distinct-scan pre-job) — the reference's ratings_distribution wide table shape; one hash agg, conditional partials"),
+
+    // ---- cube (all grouping-set combinations) ---------------------------
+    GQuery("q69_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+        // same null-marker trick as q55_rollup: Spark sorts NULLS FIRST,
+        // DuckDB NULLS LAST — coalesce keeps the sort keys comparable
+        .select(coalesce(col("l_returnflag"), lit("__all")).as("rf"),
+          coalesce(col("l_linestatus"), lit("__all")).as("ls"),
+          col("n"), col("qty_cents"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, '__all') AS rf,
+             |  coalesce(l_linestatus, '__all') AS ls,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+      doc = "CUBE — all 2^k grouping sets in one pass via Expand + partial agg (4 sets here), vs 4 separate scans; completes the ROLLUP (q55) / pivot (q68) grouping family"),
 
     // ---- unpivot / melt -------------------------------------------------
     GQuery("q56_unpivot",

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.ops.RelationalOps
 
 /** Time-window aggregation over the `events` fixture (SURVEY.md §2.8).
   * Batch-first: `window($"ts", ...)` is a plain expression, so the same
@@ -109,6 +110,67 @@ object WindowQueries {
              |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
              |    AS rolling_avg
              |FROM events ORDER BY user_id, t, event_id""".stripMargin),
-      doc = "per-user rolling-3 moving average — PARTITIONED window frame (shuffle on user_id only, no global sort)")
+      doc = "per-user rolling-3 moving average — PARTITIONED window frame (shuffle on user_id only, no global sort)"),
+
+    // ---- as-of join: latest prior view per click -------------------------
+    GQuery("q65_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts", "value")
+        // unique per (key, time): required for a deterministic match
+        val views = e.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("vval"))
+        RelationalOps.asOfJoin(clicks, views, "user_id", "ts")
+          .select(col("event_id"),
+            round(col("value") * 100, 0).cast("long").as("click_cents"),
+            round(coalesce(col("asof.vval"), lit(0.0)) * 100, 0).cast("long")
+              .as("view_cents"),
+            coalesce(unix_timestamp(col("asof.ts")), lit(-1L)).as("view_epoch"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+             |                WHERE event_type = 'click'),
+             |views AS (SELECT user_id, ts, max(value) AS vval FROM events
+             |          WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT c.event_id,
+             |  CAST(round(c.value*100, 0) AS BIGINT) AS click_cents,
+             |  CAST(round(coalesce(v.vval, 0)*100, 0) AS BIGINT) AS view_cents,
+             |  coalesce(CAST(floor(epoch(v.ts)) AS BIGINT), -1) AS view_epoch
+             |FROM clicks c ASOF LEFT JOIN views v
+             |  ON c.user_id = v.user_id AND c.ts >= v.ts
+             |ORDER BY event_id""".stripMargin),
+      doc = "as-of join (each click ↦ latest prior view per user): union + one running last() window per key — single shuffle, no range-join explosion; oracle uses DuckDB's native ASOF LEFT JOIN"),
+
+    // ---- band (interval) join: views within 60s before any click ---------
+    GQuery("q67_band_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        // no equi key on purpose — this is the pure interval-overlap case
+        // (cross-user attribution window). Times at second granularity so
+        // both engines compare identical integers (events.parquet carries
+        // nanos; Spark truncates to micros, DuckDB keeps ns — flooring to
+        // epoch seconds removes the cross-engine sub-second skew).
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"),
+            unix_timestamp(col("ts")).as("c_sec"))
+        val views = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"),
+            unix_timestamp(col("ts")).as("v_sec"))
+        RelationalOps.bandJoin(clicks, views, "c_sec", "v_sec", 60L)
+          .select(col("c_id"), col("v_id"),
+            (col("c_sec") - col("v_sec")).as("lag_sec"))
+          .orderBy("c_id", "v_id")
+      },
+      Some("""WITH c AS (SELECT event_id AS c_id,
+             |             CAST(floor(epoch(ts)) AS BIGINT) AS c_sec
+             |           FROM events WHERE event_type = 'click'),
+             |v AS (SELECT event_id AS v_id,
+             |        CAST(floor(epoch(ts)) AS BIGINT) AS v_sec
+             |      FROM events WHERE event_type = 'view')
+             |SELECT c_id, v_id, c_sec - v_sec AS lag_sec
+             |FROM c JOIN v ON v_sec BETWEEN c_sec - 60 AND c_sec
+             |ORDER BY c_id, v_id""".stripMargin),
+      doc = "band/interval join with no equi key (views ≤60s before each click): div-bucketed equi join + exact filter — fixed 2× replication instead of the O(n·m) crossJoin, one shuffle on the bucket key")
   )
 }

@@ -158,6 +158,80 @@ object RelationalOps {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Band (interval) join with NO equi key: pair every left row with the
+    * right rows whose time lies in `[leftTime - delta, leftTime]` (both
+    * ends inclusive). Time columns are epoch-seconds longs (any monotone
+    * integer clock works); the two inputs must have disjoint column
+    * names. The naive formulation is a crossJoin + range filter —
+    * O(n·m) compares, the canonical scale-killer. Shape here: bucket
+    * both sides by `time div delta`; a right row in bucket b can only
+    * match left rows in buckets {b, b+1}, so the left side is exploded
+    * to its own bucket and the one below (fixed 2× replication — NOT
+    * data-dependent), equi-joined on the bucket, then exact-filtered.
+    * One shuffle on the bucket key, matching cost O(output + n + m).
+    * Pair count grows with time density × delta — that is intrinsic to
+    * the semantics, not the plan. A pathologically hot Δ-window makes a
+    * hot bucket; shrink delta (finer buckets, same answer) or let AQE
+    * skew-split handle it. */
+  def bandJoin(left: DataFrame, right: DataFrame, leftTime: String,
+               rightTime: String, delta: Long): DataFrame = {
+    require(delta > 0, "bandJoin: delta must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "bandJoin: inputs must have disjoint column names")
+    // `div` = integral division (no double rounding at epoch magnitudes)
+    val lb = left.withColumn("__bucket",
+      explode(array(expr(s"$leftTime div $delta"),
+        expr(s"$leftTime div $delta") - 1)))
+    val rb = right.withColumn("__rbucket", expr(s"$rightTime div $delta"))
+    lb.join(rb, col("__bucket") === col("__rbucket") &&
+        col(rightTime) >= col(leftTime) - delta &&
+        col(rightTime) <= col(leftTime))
+      .drop("__bucket", "__rbucket")
+  }
+
+  /** As-of join: attach to every left row the single latest right row of
+    * the same `key` with right.`time` <= left.`time` (ties at equal time
+    * match, like DuckDB/kdb ASOF semantics); left rows with no prior
+    * right row get a null match (left-outer). Spark has no native as-of
+    * join and the naive formulations are scale-killers (range-predicate
+    * theta join → O(n·m) per key; per-left-row subquery → one window sort
+    * per probe).
+    *
+    * Shape here: tag both inputs, UNION them, and run ONE running
+    * `last(right_payload, ignoreNulls)` window per key ordered by
+    * (time, side) with right rows sorting before left rows at equal
+    * times. Single shuffle on `key`, running frame is computed
+    * incrementally (no per-row re-scan), memory is one carried struct per
+    * partition stream. A pathologically hot key funnels to one task, the
+    * generic window-skew caveat — pre-split such keys by time range and
+    * stitch the boundary row if that ever dominates.
+    *
+    * The right side should be unique per (key, time) — pre-aggregate if
+    * not — or the carried match among equal-time right rows is
+    * order-dependent. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               time: String, out: String = "asof"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val rFields = right.schema.fields.filterNot(_.name == key)
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(rFields)
+    val lPart = left.select(col(key), col(time).as("__t"),
+      lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rPart = right.select(col(key), col(time).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(rFields.map(f => col(f.name)).toIndexedSeq: _*).as("__r"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionByName(rPart)
+      .withColumn(out, last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*"), col(out))
+  }
+
   /** W4 — grouped top-k via ranked window; Spark 4's WindowGroupLimit rule
     * pushes the `rn <= k` predicate into the window exec, so only k rows
     * per group survive the shuffle (no full per-group sort materialized).

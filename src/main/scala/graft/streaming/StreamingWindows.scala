@@ -143,6 +143,33 @@ object StreamingWindows {
       .start()
   }
 
+  /** Streaming exact dedup — the ingest-time form of the batch
+    * content-hash dedup (q30): emit the first event per content digest,
+    * drop repeats. Uses `dropDuplicatesWithinWatermark`, NOT plain
+    * `dropDuplicates`: on an unbounded stream the latter keeps every
+    * digest ever seen in the state store (unbounded growth — the same
+    * class of bug as Complete-mode windows), while the within-watermark
+    * form evicts digests once the watermark passes them, so state is
+    * bounded by the distinct-digest arrival rate × horizon. The price is
+    * semantic and explicit: a duplicate arriving more than `horizon`
+    * after its original is re-emitted — exactly-once dedup inside the
+    * horizon, at-least-once beyond it (the standard streaming-ingest
+    * contract; a periodic batch dedup compacts the far tail). */
+  def dedupStream(spark: SparkSession, dir: String, schema: StructType,
+                  queryName: String,
+                  horizon: String = "24 hours"): StreamingQuery = {
+    val hashed = eventsStream(spark, dir, schema)
+      .select(col("ts"), col("event_id"),
+        md5(concat_ws("|", col("user_id"), col("event_type"),
+          col("value"))).as("content_hash"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+    hashed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
   def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
                       queryName: String): StreamingQuery = {
     import spark.implicits._

@@ -95,6 +95,49 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("asOfJoin == brute-force latest-prior-row lookup") =
+    forAll(
+      Gen.listOfN(20, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 50L),
+        Gen.choose(0.0, 9.0))),
+      Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 50L),
+        Gen.choose(0.0, 9.0)))) { (lRows, rRowsRaw) =>
+      (lRows.nonEmpty && rRowsRaw.nonEmpty) ==> {
+        // right side unique per (key, time) — the operator's contract
+        val rRows = rRowsRaw.groupBy(r => (r._1, r._2))
+          .map { case ((k, t), g) => (k, t, g.map(_._3).max) }.toList
+        val out = RelationalOps.asOfJoin(
+            lRows.toDF("k", "t", "lv"), rRows.toDF("k", "t", "rv"), "k", "t")
+          .select(col("k"), col("t"), col("lv"), col("asof.rv"))
+          .as[(Int, Long, Double, Option[Double])].collect()
+        out.length == lRows.size && out.forall { case (k, t, _, m) =>
+          val cands = rRows.filter(r => r._1 == k && r._2 <= t)
+          if (cands.isEmpty) m.isEmpty
+          else m.contains(cands.maxBy(_._2)._3)
+        }
+      }
+    }
+
+  property("bandJoin == brute-force range filter") =
+    forAll(
+      Gen.listOfN(15, Gen.zip(Gen.choose(0L, 200L), Gen.choose(0, 99))),
+      Gen.listOfN(15, Gen.zip(Gen.choose(0L, 200L), Gen.choose(0, 99))),
+      Gen.choose(1L, 30L)) { (lRows, rRows, delta) =>
+      (lRows.nonEmpty && rRows.nonEmpty) ==> {
+        val out = RelationalOps.bandJoin(
+            lRows.toDF("lt", "lid"), rRows.toDF("rt", "rid"), "lt", "rt",
+            delta)
+          .select("lid", "rid").as[(Int, Int)].collect()
+        val brute = for {
+          (lt, lid) <- lRows
+          (rt, rid) <- rRows
+          if rt >= lt - delta && rt <= lt
+        } yield (lid, rid)
+        // multiset equality: no pair lost, none duplicated by the
+        // 2-bucket explode
+        out.sorted.toSeq == brute.sorted
+      }
+    }
+
   property("jaccard df-cap: underestimates, never overestimates, any pair") =
     forAll(Gen.listOfN(5, Gen.listOfN(8,
         Gen.oneOf("aa", "bb", "cc", "dd", "ee"))),

@@ -204,6 +204,27 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup emits exactly one row per distinct content hash") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val q = StreamingWindows.dedupStream(spark, Sf, rawSchema, "dedup_spec")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_spec")
+        .select("content_hash").as[String].collect()
+      val batchHashes = Tables.events(spark, Sf)
+        .select(md5(concat_ws("|", col("user_id"), col("event_type"),
+          col("value"))).as("h"))
+        .distinct().as[String].collect().toSet
+      assert(streamed.nonEmpty)
+      // one emission per digest, and the digest sets agree with batch
+      assert(streamed.length == streamed.distinct.length,
+        "a digest was emitted more than once within the horizon")
+      assert(streamed.toSet == batchHashes,
+        s"stream=${streamed.length} batch=${batchHashes.size}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState user stats agree with batch counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
