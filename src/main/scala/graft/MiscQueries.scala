@@ -77,12 +77,21 @@ object MiscQueries {
         // the approximation emitted as a within-tolerance boolean the
         // oracle expects to be TRUE — a drift past the bound fails the row.
         val li = Tables.lineitem(s, d)
-        li.agg(
-            countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_partkey"), rsd = 0.01).as("hll"),
-            percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-              .as("p50a"))
+        // two 1-row aggs, not one: countDistinct is a declarative
+        // Expand-rewrite while HLL/percentile are ImperativeAggregates —
+        // mixed in a single agg, Catalyst plans a non-codegen
+        // SortAggregate over the Expand-doubled input (measured 3× slower
+        // than this split at sf0.1). The distinct rewrite runs alone; the
+        // three imperative sketches share one ObjectHashAggregate pass;
+        // the crossJoin glues two 1-row frames.
+        val distincts = li.agg(
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        val sketches = li.agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("hll"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50a"))
+        distincts.crossJoin(sketches)
           .select(col("exact_parts"),
             (abs(col("hll") - col("exact_parts")) <=
               col("exact_parts") * 0.05).as("hll_within_5pct"),
@@ -289,6 +298,43 @@ object MiscQueries {
              |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
              |ORDER BY rf, ls""".stripMargin),
       doc = "CUBE — all 2^k grouping sets in one pass via Expand + partial agg (4 sets here), vs 4 separate scans; completes the ROLLUP (q55) / pivot (q68) grouping family"),
+
+    // ---- range-clustered layout (min/max data skipping) ------------------
+    GQuery("q70_range_cluster",
+      (s, d) => {
+        val tmp = Staging.dir("rangecluster", d)
+        // repartitionByRange + sortWithinPartitions = range clustering:
+        // every output file covers a narrow, non-overlapping l_shipdate
+        // slice, so the parquet min/max footer stats let a date filter
+        // skip whole files/row-groups. The OTHER layout lever next to
+        // hive partitioning (q63): partitionBy works for low-cardinality
+        // keys, range clustering for ordered high-cardinality ones
+        // (a date column at 100 TB = thousands of tiny partitions if
+        // hive-partitioned, but cleanly range-clustered). Disjointness
+        // of the per-file ranges is asserted in OpsSpec.
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            round(col("l_extendedprice") * 100, 0).cast("long")
+              .as("price_cents"))
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions("l_shipdate")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1995-04-01"))
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("price_cents"))
+          .orderBy("ship_month")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             |    AS price_cents
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             |  AND l_shipdate < TIMESTAMP '1995-04-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "range-clustered write (repartitionByRange + sortWithinPartitions) then a date-filtered read: non-overlapping per-file min/max stats turn the filter into file/row-group skipping — the layout lever for ordered high-cardinality keys where hive partitioning (q63) would shatter"),
 
     // ---- unpivot / melt -------------------------------------------------
     GQuery("q56_unpivot",

@@ -170,6 +170,46 @@ object StreamingWindows {
       .start()
   }
 
+  /** Stream-stream interval join — the streaming form of the batch band
+    * join (q67): every click pairs with the views of the preceding 60
+    * seconds, both sides unbounded streams. Both inputs carry a
+    * watermark and the join condition bounds event-time distance, which
+    * is exactly what Spark needs to EVICT join state: a buffered view
+    * can be dropped once the click watermark passes (v_ts + 60s), so
+    * state holds only the last (watermark + 60s) of each side instead
+    * of the whole history. Two structural requirements meet here:
+    * Spark rejects stream-stream joins with NO equality predicate, and
+    * Append mode rejects joins with unbounded state — the div-bucket
+    * from [[graft.ops.RelationalOps.bandJoin]] satisfies the first
+    * (clicks exploded to buckets {b, b−1}, views equi-matched on their
+    * single bucket; same no-pair-lost argument, seconds truncation
+    * included), the watermarked range condition the second. Inner join:
+    * matches emit eagerly per micro-batch; no watermark wait on output. */
+  def intervalJoinStream(spark: SparkSession, dir: String,
+                         schema: StructType, queryName: String,
+                         deltaSec: Long = 60L): StreamingQuery = {
+    val clicks = eventsStream(spark, dir, schema)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+      .withColumn("__cb", explode(array(
+        expr(s"unix_timestamp(c_ts) div $deltaSec"),
+        expr(s"unix_timestamp(c_ts) div $deltaSec") - 1)))
+    val views = eventsStream(spark, dir, schema)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+      .withColumn("__vb", expr(s"unix_timestamp(v_ts) div $deltaSec"))
+    clicks.join(views,
+        col("__cb") === col("__vb") &&
+        expr(s"v_ts >= c_ts - interval $deltaSec seconds AND v_ts <= c_ts"))
+      .select(col("c_id"), col("v_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
   def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
                       queryName: String): StreamingQuery = {
     import spark.implicits._

@@ -225,6 +225,31 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
+    val q = StreamingWindows.intervalJoinStream(spark, Sf, rawSchema,
+      "interval_spec", deltaSec = 600L)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("interval_spec")
+        .as[(Long, Long)].collect().toSet
+      // batch truth at full micros precision: brute force is fine on the
+      // sf0.001 fixture (210 clicks x 188 views)
+      val e = Tables.events(spark, Sf)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("ts").as("v_ts"))
+      val batch = c.crossJoin(v)
+        .filter(col("v_ts") >= col("c_ts") - expr("interval 600 seconds") &&
+          col("v_ts") <= col("c_ts"))
+        .select("c_id", "v_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty,
+        s"stream=${streamed.size} batch=${batch.size}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState user stats agree with batch counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema

@@ -144,6 +144,25 @@ class OpsSpec extends AnyFunSuite {
     assert(joined.count() == 100)
   }
 
+  test("range-clustered write produces non-overlapping per-file shipdate ranges") {
+    // run the registered query once so the staged layout exists, then
+    // audit the files it wrote: disjoint [min,max] slices per file are
+    // WHAT makes footer-stat skipping effective (q70's claim)
+    val d = "/root/testdata/sf0.001"
+    QueryRegistry.byName("q70_range_cluster").fn(spark, d).collect()
+    val staged = spark.read.parquet(Staging.dir("rangecluster", d))
+    val ranges = staged
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_shipdate").as("lo"), max("l_shipdate").as("hi"))
+      .select("lo", "hi")
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect()
+      .sortBy(_._1.getTime)
+    assert(ranges.length > 1, "expected multiple range-clustered files")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(!hi.after(lo), s"overlapping file ranges: hi=$hi lo=$lo")
+    }
+  }
+
   test("CSV inferSchema roundtrip preserves values and types") {
     val df = Seq((1L, "alpha", 12.75), (2L, "beta", -3.5))
       .toDF("id", "name", "score")
