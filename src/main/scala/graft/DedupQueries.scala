@@ -54,6 +54,88 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "inverted-index self-join with a max-document-frequency stop-shingle cap (df ≤ 1000); true set sizes keep Jaccard honest"),
 
+    // ---- duplicate-cluster formation (connected components) -------------
+    GQuery("q71_dedup_clusters",
+      (s, d) => {
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)
+        val pairs = Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("label").as("cluster"),
+            (col("id") === col("label")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesCte
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+              |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |         FROM shf a JOIN shf b ON a.shingle = b.shingle
+              |           AND a.doc_id < b.doc_id
+              |         GROUP BY 1, 2),
+              |jp AS (SELECT id_a, id_b FROM cand
+              |       JOIN sizes na ON id_a = na.doc_id
+              |       JOIN sizes nb ON id_b = nb.doc_id
+              |       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              |          UNION SELECT id_b, id_a FROM jp),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+              |SELECT id AS doc_id, min(r) AS cluster,
+              |  (id = min(r)) AS is_canonical
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+      doc = "duplicate-CLUSTER formation over the Jaccard pairs (q31): distributed connected components by min-label propagation with per-round localCheckpoint lineage truncation — pairs (a,b),(b,c) collapse to one cluster with one canonical survivor; oracle is a DuckDB recursive-CTE transitive closure"),
+
+    // ---- end-to-end dedup: pairs → clusters → compacted corpus ----------
+    GQuery("q72_dedup_compact",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        val pairs = Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        // non-canonical cluster members are the rows to drop; LEFT ANTI
+        // keeps the corpus scan single-pass and never materializes the
+        // (much larger) kept side
+        val dupes = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("label"))
+          .select(col("id").as("doc_id"))
+        docs.join(dupes, Seq("doc_id"), "left_anti")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesCte
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+              |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |         FROM shf a JOIN shf b ON a.shingle = b.shingle
+              |           AND a.doc_id < b.doc_id
+              |         GROUP BY 1, 2),
+              |jp AS (SELECT id_a, id_b FROM cand
+              |       JOIN sizes na ON id_a = na.doc_id
+              |       JOIN sizes nb ON id_b = nb.doc_id
+              |       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              |          UNION SELECT id_b, id_a FROM jp),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+              |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+              |FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id != label)
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "the END of the dedup pipeline: near-dup pairs → connected-component clusters → left-anti compaction keeping one canonical doc per cluster — per-source corpus stats after dedup"),
+
     // ---- MinHash + LSH banding ------------------------------------------
     GQuery("q32_dedup_minhash",
       (s, d) => {

@@ -106,6 +106,32 @@ object MiscQueries {
              |FROM lineitem""".stripMargin),
       doc = "A2/A6 scale variants: HyperLogLog++ approx_count_distinct and percentile_approx next to their exact forms; the oracle verifies the error stays inside the declared bound (sketches are the only shapes that survive 100 TB without a distinct shuffle or a global sort)"),
 
+    // ---- stratified (per-class) sampling --------------------------------
+    GQuery("q73_stratified_sample",
+      (s, d) => {
+        // per-stratum Bernoulli sampling — the class-rebalancing tool for
+        // training-data pipelines (downsample the dominant class without
+        // touching the rare one). Row-local coin flips: no shuffle, no
+        // state, sampling rate checked per stratum. Like q66, the oracle
+        // verifies the CLAIM: realized per-stratum rates must sit inside
+        // a ±25%+20-row tolerance band (>10σ for Bernoulli at these
+        // populations — a deterministic TRUE unless sampling breaks).
+        val li = Tables.lineitem(s, d)
+        val fractions = Map("A" -> 0.1, "N" -> 0.2, "R" -> 0.05)
+        val fracCol = element_at(typedLit(fractions), col("l_returnflag"))
+        val sampled = li.stat.sampleBy("l_returnflag", fractions, 42L)
+        val pop = li.groupBy("l_returnflag").agg(count(lit(1)).as("pop"))
+        sampled.groupBy("l_returnflag").agg(count(lit(1)).as("got"))
+          .join(pop, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("pop"),
+            (abs(col("got") - col("pop") * fracCol) <=
+              col("pop") * fracCol * 0.25 + 20).as("within_tol"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS pop, TRUE AS within_tol
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "stratified sampleBy with per-class fractions (A 10% / N 20% / R 5%), seeded; oracle checks exact stratum populations and that every realized rate stays inside the declared tolerance band"),
+
     // ---- W5 seeded random row pick --------------------------------------
     GQuery("q43_seeded_pick",
       (s, d) => Tables.customer(s, d)

@@ -224,4 +224,53 @@ object Dedup {
     banded.unpersist()
     out
   }
+
+  /** Connected components over an undirected edge list — the clustering
+    * step every dedup pipeline needs AFTER candidate pairs: pairs
+    * (a,b),(b,c) must collapse into one cluster {a,b,c} with a single
+    * canonical survivor, or the "dedup" keeps transitive duplicates.
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round takes the min of its neighbors' labels; fixpoint
+    * = components labeled by their min member. Each round is one
+    * shuffle-join + one aggregation, and the label frame is
+    * `localCheckpoint`ed per round — without truncation the plan doubles
+    * every iteration and Catalyst re-derives the whole chain (the
+    * classic iterative-algorithm trap; at cluster scale use reliable
+    * `checkpoint` to survive executor loss). Converges in O(diameter)
+    * rounds — near-duplicate clusters are star/clique shaped (diameter
+    * ≤ ~3), so 3–4 rounds in practice; for adversarial long-path graphs
+    * use the large-star/small-star variant (O(log n) rounds).
+    *
+    * Returns (id, label) for every node that appears in an edge. */
+  def connectedComponents(edges: DataFrame, a: String, b: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = RelationalOps.materialized(
+      edges.select(col(a).as("src"), col(b).as("dst"))
+        .union(edges.select(col(b).as("src"), col(a).as("dst")))
+        .distinct())
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("label")).as("nbr"))
+      val next = labels
+        .join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nbr"),
+          col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

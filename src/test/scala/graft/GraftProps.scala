@@ -138,6 +138,29 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("connectedComponents == union-find, labels are component minima") =
+    forAll(Gen.listOfN(10,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { edges0 =>
+      val edges = edges0.filter(e => e._1 != e._2)
+      edges.nonEmpty ==> {
+        val out = graft.ext.Dedup
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+        def find(x: Long): Long = {
+          var r = x; while (parent(r) != r) r = parent(r); r
+        }
+        edges.foreach { case (x, y) =>
+          val (rx, ry) = (find(x), find(y))
+          if (rx != ry) parent(rx max ry) = rx min ry
+        }
+        val expected = nodes.groupBy(find).values
+          .flatMap(ns => ns.map(_ -> ns.min)).toMap
+        out == expected
+      }
+    }
+
   property("jaccard df-cap: underestimates, never overestimates, any pair") =
     forAll(Gen.listOfN(5, Gen.listOfN(8,
         Gen.oneOf("aa", "bb", "cc", "dd", "ee"))),
