@@ -132,6 +132,45 @@ object MiscQueries {
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "stratified sampleBy with per-class fractions (A 10% / N 20% / R 5%), seeded; oracle checks exact stratum populations and that every realized rate stays inside the declared tolerance band"),
 
+    // ---- scalar date/string/regex breadth --------------------------------
+    GQuery("q75_scalar_functions",
+      (s, d) => Tables.orders(s, d).select(
+          col("o_orderkey"),
+          // every expression here is row-local and codegen'd — breadth of
+          // the §2.7 scalar surface, zero shuffles beyond the final sort
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          // month arithmetic on the truncated first-of-month: no
+          // end-of-month clamping divergence between engines
+          date_format(add_months(date_trunc("month", col("o_orderdate")), 2),
+            "yyyy-MM-dd").as("m_plus2"),
+          datediff(to_date(lit("1999-01-01")), to_date(col("o_orderdate")))
+            .cast("long").as("days_to_1999"),
+          regexp_extract(col("o_orderpriority"), "^([0-9]+)-", 1).cast("int")
+            .as("prio_num"),
+          translate(lower(col("o_orderpriority")), "-", "_").as("prio_slug"),
+          lpad(col("o_orderkey").cast("string"), 10, "0").as("key_padded"),
+          substring(col("o_orderstatus"), 1, 1).as("status_c"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+             |  year(o_orderdate) AS y,
+             |  quarter(o_orderdate) AS qtr,
+             |  dayofweek(o_orderdate) + 1 AS dow,
+             |  strftime(date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+             |    '%Y-%m-%d') AS m_plus2,
+             |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+             |    AS days_to_1999,
+             |  CAST(regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS INTEGER)
+             |    AS prio_num,
+             |  translate(lower(o_orderpriority), '-', '_') AS prio_slug,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+             |  substring(o_orderstatus, 1, 1) AS status_c
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      doc = "§2.7 scalar breadth in one projection: date parts/trunc/arithmetic, datediff, regexp_extract, translate, lpad, substring — all row-local codegen (DuckDB dow is 0-based, Spark 1-based: oracle shifts)"),
+
     // ---- W5 seeded random row pick --------------------------------------
     GQuery("q43_seeded_pick",
       (s, d) => Tables.customer(s, d)

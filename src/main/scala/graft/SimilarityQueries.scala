@@ -22,6 +22,31 @@ object SimilarityQueries {
 
   val all: Seq[GQuery] = Seq(
 
+    // ---- int8 quantized embedding storage --------------------------------
+    GQuery("q76_embedding_quantize",
+      (s, d) => {
+        // storage-scale lever for ANN: float32 → int8 + per-vector scale
+        // (≈4× smaller candidate stage at 100 TB). The oracle checks the
+        // scheme's hard guarantee — per-dim reconstruction error ≤
+        // scale/2 — as a claim column, plus exact dims/row counts.
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+        q.select(col("vec_id"), size(col("embedding")).as("n_dims"),
+            array_max(zip_with(col("embedding").cast("array<double>"),
+              Similarity.dequantizeInt8(col("q8"), col("q8_scale")),
+              (x, dq) => abs(x - dq))).as("err"),
+            col("q8_scale"),
+            array_max(transform(col("q8"), v => abs(v.cast("int"))))
+              .as("qmax"))
+          .select(col("vec_id"), col("n_dims"),
+            (col("err") <= col("q8_scale") * 0.5 + 1e-9).as("within_half_step"),
+            (col("qmax") <= 127).as("in_int8_range"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, len(embedding) AS n_dims,
+             |  TRUE AS within_half_step, TRUE AS in_int8_range
+             |FROM embeddings ORDER BY vec_id""".stripMargin),
+      doc = "int8 scalar quantization of the embedding column (row-local HOFs, no shuffle): per-dim reconstruction error provably ≤ scale/2 and every code in [−127,127] — both verified per vector as oracle claims"),
+
     // ---- brute-force exact cosine top-k ---------------------------------
     GQuery("q34_knn_bruteforce",
       (s, d) => {

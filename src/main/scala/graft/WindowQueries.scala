@@ -171,6 +171,42 @@ object WindowQueries {
              |SELECT c_id, v_id, c_sec - v_sec AS lag_sec
              |FROM c JOIN v ON v_sec BETWEEN c_sec - 60 AND c_sec
              |ORDER BY c_id, v_id""".stripMargin),
-      doc = "band/interval join with no equi key (views ≤60s before each click): div-bucketed equi join + exact filter — fixed 2× replication instead of the O(n·m) crossJoin, one shuffle on the bucket key")
+      doc = "band/interval join with no equi key (views ≤60s before each click): div-bucketed equi join + exact filter — fixed 2× replication instead of the O(n·m) crossJoin, one shuffle on the bucket key"),
+
+    // ---- analytic window-function suite ----------------------------------
+    GQuery("q74_window_analytics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // the full §2.5 analytic family over ONE partitioned window:
+        // a single shuffle on user_id serves lag/lead/ntile/percent_rank/
+        // cume_dist/running-sum together (Spark fuses same-window
+        // functions into one WindowExec pass — never one shuffle each)
+        val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        e.select(col("event_id"), col("user_id"),
+            lag("cents", 1).over(w).as("prev_cents"),
+            lead("cents", 1).over(w).as("next_cents"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            sum("cents").over(w).as("run_cents"))
+          .orderBy("user_id", "t", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  lag(cents, 1) OVER w AS prev_cents,
+             |  lead(cents, 1) OVER w AS next_cents,
+             |  ntile(4) OVER w AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS run_cents
+             |FROM (SELECT event_id, user_id,
+             |        CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             |        CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+             |ORDER BY user_id, t, event_id""".stripMargin),
+      doc = "analytic window family (lag/lead/ntile/percent_rank/cume_dist/running sum) fused into ONE WindowExec pass — a single user_id shuffle serves all six, no global sort")
   )
 }

@@ -255,4 +255,24 @@ object Similarity {
         zip_with(bits, jjs, (bit, jj) => bit * pow(lit(2.0), jj).cast("long")),
         lit(0L), (acc, x) => acc + x)
     })
+
+  /** Int8 scalar quantization for embedding storage: float32 per dim →
+    * one byte per dim + one float scale per vector — the ~4× shrink that
+    * decides whether an ANN index's candidate stage is IO-bound at
+    * 100 TB (shuffle bytes, page-cache footprint, broadcast size all
+    * scale with it). Symmetric per-vector scheme: scale = max|x|/127,
+    * q_i = round(x_i/scale) ∈ [−127, 127], so dequantized error per dim
+    * is ≤ scale/2. Entirely row-local (codegen'd HOFs) — no shuffle, no
+    * state. Adds `scaleCol` (double) and `out` (array<tinyint>). */
+  def quantizeInt8(df: DataFrame, vecCol: String, out: String = "q8",
+                   scaleCol: String = "q8_scale"): DataFrame =
+    df.withColumn(scaleCol,
+        greatest(array_max(transform(col(vecCol),
+          x => abs(x.cast("double")))) / 127.0, lit(1e-12)))
+      .withColumn(out, transform(col(vecCol),
+        x => round(x.cast("double") / col(scaleCol)).cast("tinyint")))
+
+  /** Inverse of [[quantizeInt8]]: array<tinyint> × scale → array<double>. */
+  def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, q => q.cast("double") * scaleCol)
 }

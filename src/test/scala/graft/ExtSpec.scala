@@ -93,6 +93,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got == want && want.contains((41L, 42L)) && want.contains((41L, 43L)))
   }
 
+  test("quantizeInt8: known codes, scale = max|x|/127, roundtrip error ≤ scale/2") {
+    val df = Seq((1L, Seq(1.27f, -1.27f, 0.635f, 0.0f)),
+        (2L, Seq(0.02f, -0.01f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+      .select(col("vec_id"), col("q8_scale"), col("q8"),
+        Similarity.dequantizeInt8(col("q8"), col("q8_scale")).as("dq"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Double, Seq[Byte], Seq[Double], Seq[Double])]
+      .collect().sortBy(_._1)
+    val (_, s1, q1, dq1, v1) = q(0)
+    assert(math.abs(s1 - 1.27 / 127.0) < 1e-9)
+    assert(q1 == Seq[Byte](127, -127, 64, 0), s"codes: $q1")
+    v1.zip(dq1).foreach { case (x, d) =>
+      assert(math.abs(x - d) <= s1 / 2 + 1e-9, s"err ${math.abs(x - d)}")
+    }
+    val (_, s2, q2, _, _) = q(1)
+    assert(q2.forall(b => b >= -127 && b <= 127))
+    assert(math.abs(s2 - 0.02f.toDouble / 127.0) < 1e-9)
+  }
+
   test("cosine: exact values via HOF dot products") {
     val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(2.0, 2.0)))
       .toDF("vec_id", "embedding")
