@@ -47,6 +47,39 @@ object SimilarityQueries {
              |FROM embeddings ORDER BY vec_id""".stripMargin),
       doc = "int8 scalar quantization of the embedding column (row-local HOFs, no shuffle): per-dim reconstruction error provably ≤ scale/2 and every code in [−127,127] — both verified per vector as oracle claims"),
 
+    // ---- quantized-space search quality ----------------------------------
+    GQuery("q77_quantized_recall",
+      (s, d) => {
+        // does the 4×-smaller int8 space (q76) still find the right
+        // neighbors? Top-1 search in the dequantized space vs the exact
+        // float space; the oracle pins the query count and the ≥90%
+        // top-1 agreement claim (observed 100% on the fixtures — the
+        // claim bound leaves room for legitimate quantized rank flips).
+        val emb = Tables.embeddings(s, d)
+        val dq = Similarity.quantizeInt8(emb, "embedding")
+          .select(col("vec_id"),
+            Similarity.dequantizeInt8(col("q8"), col("q8_scale"))
+              .as("embedding"))
+        val exact = Similarity
+          .cosineTopK(emb.filter(col("vec_id") < 20), emb, "vec_id",
+            "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id").as("exact_nn"))
+        val approx = Similarity
+          .cosineTopK(dq.filter(col("vec_id") < 20), dq, "vec_id",
+            "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id").as("q8_nn"))
+        exact.join(approx, Seq("query_id"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("exact_nn") === col("q8_nn"), 1L).otherwise(0L))
+              .as("agree"))
+          .select(col("n_queries"),
+            (col("agree").cast("double") >=
+              col("n_queries").cast("double") * 0.9).as("recall_ok"))
+      },
+      Some("""SELECT count(*) AS n_queries, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 20""".stripMargin),
+      doc = "top-1 recall of int8-quantized search vs exact float search (≥90% agreement claim): closes the quantization loop — q76 proves the storage error bound, this proves the SEARCH survives it"),
+
     // ---- brute-force exact cosine top-k ---------------------------------
     GQuery("q34_knn_bruteforce",
       (s, d) => {

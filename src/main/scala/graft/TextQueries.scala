@@ -133,6 +133,99 @@ object TextQueries {
              |  CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
              |  source
              |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "binary payload column + typed metadata; decode itself is stubbed (no codec libs in container)")
+      doc = "binary payload column + typed metadata; decode itself is stubbed (no codec libs in container)"),
+
+    // ---- repetition-based quality signals --------------------------------
+    GQuery("q78_text_repetition",
+      (s, d) => {
+        // Gopher-style repetition filters: distinct-token ratio and
+        // top-token frequency ratio. Computed SHUFFLE-FREE — the max
+        // token frequency is a run-length fold over the row-local sorted
+        // array (HOFs), not an explode + per-(doc,token) groupBy; at
+        // 100 TB that removes the widest shuffle in the quality tier
+        // (token-level rows ≈ 50× doc rows).
+        val toks = split(col("text"), " ")
+        val sorted = array_sort(toks)
+        val maxRun = aggregate(sorted,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + lit(1L))
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best"))
+        Tables.documents(s, d).select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            maxRun.as("mx"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+              .as("distinct_ratio"),
+            round(col("mx").cast("double") / col("n_tokens"), 6)
+              .as("top_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |           FROM documents),
+             |cnt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS dn, max(c) AS mx
+             |        FROM cnt GROUP BY 1)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  round(dn*1.0/n, 6) AS distinct_ratio,
+             |  round(mx*1.0/n, 6) AS top_ratio
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      doc = "repetition quality signals (distinct-token ratio, top-token frequency): row-local sorted-array run-length fold — no token-level explode shuffle; the oracle recomputes via unnest + groupBy"),
+
+    // ---- text-file corpus roundtrip --------------------------------------
+    GQuery("q79_text_roundtrip",
+      (s, d) => {
+        // one-doc-per-line text files: THE wire format of LLM corpora.
+        // Distributed write (one file per partition), schema-free read,
+        // split on an id prefix — roundtrip verified against the parquet
+        // truth by length (text has no tabs; ids survive the cast).
+        val tmp = Staging.dir("textsink", d)
+        Tables.documents(s, d)
+          .select(concat_ws("\t", col("doc_id"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(split(col("value"), "\t", 2).as("p"))
+          .select(col("p").getItem(0).cast("long").as("doc_id"),
+            length(col("p").getItem(1)).cast("long").as("text_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "text-source/sink roundtrip (one doc per line, tab id prefix): the LLM-corpus wire format next to parquet/CSV/JSON/ORC"),
+
+    // ---- binary-file ingestion (multimodal source) -----------------------
+    GQuery("q80_binary_source",
+      (s, d) => {
+        // binaryFile is the ingest surface for image/audio corpora: one
+        // row per FILE with (path, modificationTime, length, content).
+        // Stage a bounded 20-file sample (driver loop is bounded and
+        // write-once), then read it back through the real source and
+        // re-key by filename.
+        val tmp = Staging.dir("binsink", d)
+        val dir = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.createDirectories(dir)
+        Tables.documents(s, d).filter(col("doc_id") < 20)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              dir.resolve(s"doc_${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
+          }
+        s.read.format("binaryFile").load(tmp)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
+              .as("doc_id"),
+            col("length").cast("long").as("n_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
+             |  AS n_bytes
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin),
+      doc = "binaryFile source — per-file (path, length, content) rows, the image/audio ingest shape feeding the q41/q47 multimodal stubs; bounded 20-file staged sample")
   )
 }

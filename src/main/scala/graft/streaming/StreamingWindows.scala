@@ -210,6 +210,33 @@ object StreamingWindows {
       .start()
   }
 
+  /** Idempotent parquet egress via foreachBatch. Structured Streaming's
+    * failure contract is batchId-stable replay: a micro-batch that dies
+    * mid-write is re-executed with the SAME batchId over the SAME input
+    * offsets. Writing every batch to a batchId-keyed directory in
+    * overwrite mode turns replay into a harmless rewrite — no duplicate
+    * rows, no partial-file leftovers — which is the exactly-once file
+    * sink without a transactional store. The `batch=<id>` directory
+    * names double as a hive partition column on read. */
+  def parquetSinkStream(spark: SparkSession, dir: String,
+                        schema: StructType, outDir: String): StreamingQuery = {
+    val events = eventsStream(spark, dir, schema)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, outDir, batchId)
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+
+  /** The idempotent per-batch writer — public so tests can simulate a
+    * batchId replay directly. */
+  def writeBatch(batch: DataFrame, outDir: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
   def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
                       queryName: String): StreamingQuery = {
     import spark.implicits._

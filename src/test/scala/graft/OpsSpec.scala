@@ -163,6 +163,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    // salting (q50) is the explicit skew tool; this proves the RUNTIME
+    // lever — AQE re-plans a skewed SMJ into split sub-partitions after
+    // seeing the actual shuffle sizes. Thresholds lowered so the fixture
+    // triggers what a hot key does at TB scale.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // xxhash payload defeats shuffle compression — the skew detector
+      // sees COMPRESSED map-output sizes, and a constant-key column of
+      // constants compresses below any realistic threshold
+      val fact = spark.range(1000000)
+        .select(lit(1L).as("k"), xxhash64(col("id")).as("v"))
+        .union(spark.range(200)
+          .select((col("id") % 10 + 2).as("k"), xxhash64(col("id")).as("v")))
+      val dim = spark.range(12).select(col("id").as("k"), (col("id") * 2).as("d"))
+      val j = fact.join(dim, Seq("k"))
+      // drive THIS queryExecution's own RDD: df.count() builds a separate
+      // Aggregate plan, and the adaptive final plan (isFinalPlan=true)
+      // only exists on the execution that actually ran
+      val qe = j.queryExecution
+      assert(qe.executedPlan.execute().count() == 1000200)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
   test("CSV inferSchema roundtrip preserves values and types") {
     val df = Seq((1L, "alpha", 12.75), (2L, "beta", -3.5))
       .toDF("id", "name", "score")
