@@ -206,6 +206,66 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Catalyst's InjectRuntimeFilter: a selective filter on the dim side
+    // spawns a bloom_filter_agg subquery whose result pre-filters the
+    // fact scan (might_contain) BEFORE the join shuffle — rows that
+    // cannot match never get shuffled. At production scale the 10 GB
+    // application-side threshold triggers this automatically; the test
+    // zeroes it so the fixture-sized join demonstrates the same plan.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> c.getOption(k))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.range(100000).select(col("id").as("k"), xxhash64(col("id")).as("v"))
+        .write.mode("overwrite").parquet(s"$tmp/fact")
+      spark.range(10000).select(col("id").as("k"), (col("id") % 100).as("grp"))
+        .write.mode("overwrite").parquet(s"$tmp/dim")
+      val fact = spark.read.parquet(s"$tmp/fact")
+      val dim = spark.read.parquet(s"$tmp/dim").filter(col("grp") === 7)
+      val j = fact.join(dim, Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${plan.take(3000)}")
+      assert(j.count() == 100)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+
+  test("operator contracts on empty/degenerate inputs") {
+    import org.apache.spark.sql.types._
+    // asOfJoin: empty right side → left-outer nulls, row count preserved
+    val left = Seq((1, 10L, 1.0), (2, 20L, 2.0)).toDF("k", "t", "lv")
+    val emptyRight = Seq.empty[(Int, Long, Double)].toDF("k", "t", "rv")
+    val asOf = RelationalOps.asOfJoin(left, emptyRight, "k", "t")
+    assert(asOf.count() == 2 && asOf.filter(col("asof").isNull).count() == 2)
+    // bandJoin: no overlap → empty, never an error
+    val bj = RelationalOps.bandJoin(
+      Seq((100L, 1)).toDF("lt", "lid"), Seq((500L, 2)).toDF("rt", "rid"),
+      "lt", "rt", 10L)
+    assert(bj.count() == 0)
+    // connectedComponents: empty edge list → empty labels
+    val cc = graft.ext.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    assert(cc.count() == 0)
+    // quantizeInt8: all-zero vector → scale floor, zero codes, roundtrip 0
+    val qz = graft.ext.Similarity
+      .quantizeInt8(Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"),
+        "embedding")
+      .select(col("q8"), col("q8_scale"))
+      .as[(Seq[Byte], Double)].head()
+    assert(qz._1 == Seq[Byte](0, 0) && qz._2 > 0.0)
+  }
+
   test("CSV inferSchema roundtrip preserves values and types") {
     val df = Seq((1L, "alpha", 12.75), (2L, "beta", -3.5))
       .toDF("id", "name", "score")
