@@ -80,6 +80,41 @@ object SimilarityQueries {
              |FROM embeddings WHERE vec_id < 20""".stripMargin),
       doc = "top-1 recall of int8-quantized search vs exact float search (≥90% agreement claim): closes the quantization loop — q76 proves the storage error bound, this proves the SEARCH survives it"),
 
+    // ---- per-class embedding centroids (vector-native aggregation) -------
+    GQuery("q81_embedding_centroids",
+      (s, d) => {
+        import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+        import org.apache.spark.ml.stat.Summarizer
+        // class centroids via ml.stat.Summarizer — ONE vector-typed
+        // partial aggregate per partition, merged tree-wise. The naive
+        // posexplode + groupBy(label, dim) alternative multiplies the
+        // shuffle by dims (64× here, 4096× for real embedding widths);
+        // the vector-native agg shuffles one 64-dim buffer per
+        // (partition, label) instead. Explode happens only on the k×dims
+        // RESULT rows.
+        val emb = Tables.embeddings(s, d)
+          .select(col("label"), array_to_vector(col("embedding")).as("v"))
+        emb.groupBy("label")
+          .agg(Summarizer.mean(col("v")).as("centroid"),
+            count(lit(1)).as("n"))
+          .select(col("label").cast("long").as("label"), col("n"),
+            posexplode(vector_to_array(col("centroid")))
+              .as(Seq("dim", "value")))
+          .select(col("label"), col("n"), col("dim").cast("long").as("dim"),
+            round(col("value"), 6).as("value"))
+          .orderBy("label", "dim")
+      },
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |x AS (SELECT label, i - 1 AS dim, v[i] AS x
+             |      FROM e, unnest(generate_series(1, len(v))) AS u(i))
+             |SELECT CAST(label AS BIGINT) AS label,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(dim AS BIGINT) AS dim,
+             |  round(avg(x), 6) AS value
+             |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin),
+      doc = "per-class embedding centroids via vector-native Summarizer.mean (one vector buffer per partial, not a dims× exploded shuffle); result exploded to (label, dim, value) rows for the oracle"),
+
     // ---- brute-force exact cosine top-k ---------------------------------
     GQuery("q34_knn_bruteforce",
       (s, d) => {

@@ -233,20 +233,28 @@ object Similarity {
   }
 
   /** Sign-LSH bucket = Σ_j (proj_j > 0) · 2^j, from `nBits` deterministic
-    * hyperplanes. */
-  def lshBucketInt(vec: Column, dims: Int, nBits: Int): Column = {
-    val js = sequence(lit(0), lit(nBits - 1))
-    val bits = transform(js, j => planeBit(vec, j, dims))
-    aggregate(zip_with(bits, js, (b, j) => b * pow(lit(2.0), j).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * hyperplanes. Native codegen path
+    * ([[graft.functions.SignLshBands]]); `dims` is kept in the signature
+    * for call-site clarity but derived from the array inside. */
+  def lshBucketInt(vec: Column, dims: Int, nBits: Int): Column =
+    element_at(
+      graft.functions.VectorFunctions.lshBands(vec, lit(1), lit(nBits)), 1)
 
   /** `bands` independent sign-LSH buckets per vector; band b uses global
     * planes [b·bitsPerBand, (b+1)·bitsPerBand) so no two bands share a
     * hyperplane. Returns array<long> of length `bands` (element b = bucket
-    * id within band b). */
+    * id within band b). Fused codegen expression — the HOF form
+    * ([[lshBandBucketsHof]]) evaluated bands×bits interpreted lambdas
+    * per row and dominated the banding pass. */
   def lshBandBuckets(vec: Column, dims: Int, bands: Int,
                      bitsPerBand: Int): Column =
+    graft.functions.VectorFunctions.lshBands(vec, lit(bands), lit(bitsPerBand))
+
+  /** Interpreted HOF formulation of [[lshBandBuckets]] — retained as the
+    * independent reference implementation for the bit-parity test (same
+    * role [[cosineHof]] plays for the cosine expression). */
+  def lshBandBucketsHof(vec: Column, dims: Int, bands: Int,
+                        bitsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b => {
       val jjs = sequence(lit(0), lit(bitsPerBand - 1))
       val bits = transform(jjs,

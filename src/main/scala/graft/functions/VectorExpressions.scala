@@ -84,6 +84,104 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen form of the sign-LSH band hashing
+  * ([[graft.ext.Similarity.lshBandBuckets]]'s HOF formulation): for each
+  * band b and bit jj, hyperplane j = b·bits+jj is dotted with the vector
+  * using LCG weights w(j,i) = ((1103515245·(j·dims+i) + 12345) mod 2^31)
+  * / 2^30 − 1, and the sign bits pack into a long bucket id per band.
+  *
+  * Why native: the HOF version materializes `bands × bits` interpreted
+  * lambda evaluations per row, each allocating a zipped sequence array —
+  * O(bands·bits·dims) interpreted work on every corpus row before the
+  * candidate shuffle. This is one fused triple loop inside whole-stage
+  * codegen, zero allocation beyond the output array.
+  *
+  * Parity contract: double accumulation runs in index order i=0..dims−1
+  * with identical long LCG arithmetic, so buckets are bit-for-bit equal
+  * to the HOF form (asserted in ExtSpec) and to the DuckDB oracle's
+  * replication of the same formula. `dims` is the array length (callers
+  * of the HOF form always passed the true length). */
+case class SignLshBands(vec: Expression, bands: Expression,
+                        bitsPerBand: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with Serializable {
+
+  override def first: Expression = vec
+  override def second: Expression = bands
+  override def third: Expression = bitsPerBand
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_bands"
+
+  override def nullSafeEval(v: Any, nb: Any, bpb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val nBands = nb.asInstanceOf[Int]
+    val bits = bpb.asInstanceOf[Int]
+    val dims = x.numElements()
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var jj = 0
+      while (jj < bits) {
+        val j = b.toLong * bits + jj
+        var s = 0.0
+        var i = 0
+        while (i < dims) {
+          val w = ((1103515245L * (j * dims + i) + 12345L) % 2147483648L)
+            .toDouble / 1073741824.0 - 1.0
+          s += x.getDouble(i) * w
+          i += 1
+        }
+        if (s > 0) bucket += (1L << jj)
+        jj += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nb, bpb) => {
+      val dims = ctx.freshName("dims")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val jj = ctx.freshName("jj")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val w = ctx.freshName("w")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $dims = $v.numElements();
+         |long[] $out = new long[$nb];
+         |for (int $b = 0; $b < $nb; $b++) {
+         |  long $bucket = 0L;
+         |  for (int $jj = 0; $jj < $bpb; $jj++) {
+         |    long $j = (long) $b * $bpb + $jj;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dims; $i++) {
+         |      double $w = (double) ((1103515245L * ($j * $dims + $i) + 12345L)
+         |        % 2147483648L) / 1073741824.0 - 1.0;
+         |      $s += $v.getDouble($i) * $w;
+         |    }
+         |    if ($s > 0) $bucket += (1L << $jj);
+         |  }
+         |  $out[$b] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(vec = newFirst, bands = newSecond, bitsPerBand = newThird)
+}
+
 /** Session-extension entry point: injects the engine's custom functions
   * at session build time — the deployment path for a cluster
   * (`spark.sql.extensions=graft.functions.GraftExtensions`), where every
@@ -91,12 +189,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * [[VectorFunctions.register]] remains the fallback for sessions built
   * without the extension. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.CosineName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimilarity].getName, VectorFunctions.CosineName),
       VectorFunctions.cosineBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier(VectorFunctions.LshName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SignLshBands].getName, VectorFunctions.LshName),
+      VectorFunctions.lshBuilder))
+  }
 }
 
 object VectorFunctions {
@@ -113,16 +217,33 @@ object VectorFunctions {
         s"array<double>); got ${exprs.length}")
   }
 
-  /** Register the expression in the session's function registry (public
+  val LshName = "graft_lsh_bands"
+
+  private[functions] val lshBuilder: Seq[Expression] => Expression = {
+    case Seq(v, nb, bpb) => SignLshBands(v, nb, bpb)
+    case exprs => throw new IllegalArgumentException(
+      s"$LshName expects exactly 3 arguments (array<double>, bands, " +
+        s"bitsPerBand); got ${exprs.length}")
+  }
+
+  /** Register the expressions in the session's function registry (public
     * Catalyst API — Column-from-Expression constructors are private[sql]
     * in Spark 4, so resolution goes through `call_function` instead).
     * Idempotent; cheap enough to call per query build. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, cosineBuilder, "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      LshName, lshBuilder, "internal")
+  }
 
   /** Column wrapper: fused codegen cosine similarity. Requires
     * [[register]] to have run on the executing session. */
   def cosineSim(a: Column, b: Column): Column =
     call_function(CosineName, a, b)
+
+  /** Column wrapper: fused codegen sign-LSH band buckets. Requires
+    * [[register]] to have run on the executing session. */
+  def lshBands(vec: Column, bands: Column, bitsPerBand: Column): Column =
+    call_function(LshName, vec, bands, bitsPerBand)
 }

@@ -151,6 +151,25 @@ class ExtSpec extends AnyFunSuite {
     assert(both.forall { case (n, h) => n == h })
   }
 
+  test("native lsh band hashing == HOF formulation bit-for-bit") {
+    graft.functions.VectorFunctions.register(spark)
+    val vecs = Seq((1L, Seq(0.3, -1.2, 0.7, 2.2)),
+        (2L, Seq(-0.5, 0.4, -0.1, 0.9)), (3L, Seq(1.0, 1.0, 1.0, 1.0)),
+        (4L, Seq(-2.0, -0.01, 3.5, 0.0)))
+      .toDF("id", "v")
+    val both = vecs.select(col("id"),
+        graft.ext.Similarity.lshBandBuckets(col("v"), 4, 3, 5).as("native"),
+        graft.ext.Similarity.lshBandBucketsHof(col("v"), 4, 3, 5).as("hof"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (id, n, h) =>
+      assert(n == h, s"id=$id native=$n hof=$h")
+    }
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_lsh_bands(array(1.0D))").collect())
+    assert(err.getMessage.contains("3 arguments"))
+  }
+
   test("cosineTopK: at most k neighbors per query, scores non-increasing") {
     val vecs = (1L to 6L).map(i =>
       (i, Seq(math.cos(i * 0.7), math.sin(i * 0.7)))).toDF("vec_id", "embedding")
