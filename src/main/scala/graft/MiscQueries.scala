@@ -401,6 +401,35 @@ object MiscQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "range-clustered write (repartitionByRange + sortWithinPartitions) then a date-filtered read: non-overlapping per-file min/max stats turn the filter into file/row-group skipping — the layout lever for ordered high-cardinality keys where hive partitioning (q63) would shatter"),
 
+    // ---- EXCEPT / INTERSECT (set-op completeness) ------------------------
+    GQuery("q82_except_intersect",
+      (s, d) => {
+        // Catalyst rewrites INTERSECT to a left-semi join + distinct and
+        // EXCEPT to a left-anti join + distinct — one shuffle each on
+        // the compared column, no cross-product anywhere. Completes the
+        // §2.6 set family next to q18's UNION.
+        val hi = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 150000).select("o_custkey")
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        hi.intersect(urgent).withColumn("set_op", lit("intersect"))
+          .unionByName(hi.except(urgent).withColumn("set_op", lit("except")))
+          .orderBy("set_op", "o_custkey")
+      },
+      Some("""SELECT o_custkey, 'intersect' AS set_op
+             |FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+             |      INTERSECT
+             |      SELECT o_custkey FROM orders
+             |      WHERE o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT o_custkey, 'except' AS set_op
+             |FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+             |      EXCEPT
+             |      SELECT o_custkey FROM orders
+             |      WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY set_op, o_custkey""".stripMargin),
+      doc = "INTERSECT and EXCEPT (distinct set semantics): Catalyst plans them as semi/anti join + distinct — completes the §2.6 set family next to UNION (q18)"),
+
     // ---- unpivot / melt -------------------------------------------------
     GQuery("q56_unpivot",
       (s, d) => Tables.part(s, d)
