@@ -206,16 +206,7 @@ object TextQueries {
         // Stage a bounded 20-file sample (driver loop is bounded and
         // write-once), then read it back through the real source and
         // re-key by filename.
-        val tmp = Staging.dir("binsink", d)
-        val dir = java.nio.file.Paths.get(tmp)
-        java.nio.file.Files.createDirectories(dir)
-        Tables.documents(s, d).filter(col("doc_id") < 20)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .collect()
-          .foreach { r =>
-            java.nio.file.Files.write(
-              dir.resolve(s"doc_${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
-          }
+        val tmp = stageBinaryDocs(s, d)
         s.read.format("binaryFile").load(tmp)
           .select(
             regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
@@ -226,6 +217,49 @@ object TextQueries {
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT)
              |  AS n_bytes
              |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin),
-      doc = "binaryFile source — per-file (path, length, content) rows, the image/audio ingest shape feeding the q41/q47 multimodal stubs; bounded 20-file staged sample")
+      doc = "binaryFile source — per-file (path, length, content) rows, the image/audio ingest shape feeding the q41/q47 multimodal stubs; bounded 20-file staged sample"),
+
+    // ---- end-to-end multimodal: file ingest → batched decode -------------
+    GQuery("q83_binary_decode",
+      (s, d) => {
+        // the complete multimodal ingest pipeline: binaryFile rows →
+        // partition-batched decode (mapPartitions, codec init amortized
+        // per partition) → typed metadata. The decode kernel is the
+        // deterministic stub (no codec libs here), which makes the WHOLE
+        // pipeline oracle-checkable: the oracle recomputes the stub's
+        // arithmetic from the document bytes.
+        val tmp = stageBinaryDocs(s, d)
+        val files = s.read.format("binaryFile").load(tmp)
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
+              .as("doc_id"),
+            col("content").as("payload"))
+        graft.ext.Multimodal.decodeBatched(files).toDF()
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+             |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT)
+             |    AS fake_height
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin),
+      doc = "multimodal end-to-end: binaryFile ingest → mapPartitions batched decode (the mapInPandas shape) → typed metadata rows, oracle-checked against the stub arithmetic recomputed from the source bytes")
   )
+
+  /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for
+    * the binaryFile-source queries; write-once per JVM+sf via Staging. */
+  private def stageBinaryDocs(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    val tmp = Staging.dir("binsink", d)
+    val dir = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.createDirectories(dir)
+    Tables.documents(s, d).filter(col("doc_id") < 20)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(s"doc_${r.getLong(0)}.bin"), r.getAs[Array[Byte]](1))
+      }
+    tmp
+  }
 }
