@@ -271,6 +271,13 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // a silent non-converged return would hand back WRONG cluster labels
+    // (some nodes still carrying a non-minimal component id) — fail loudly
+    // instead; real dup graphs converge in a handful of rounds, so hitting
+    // this means the graph has a pathological long path (raise maxIter or
+    // switch to the large-star/small-star O(log n) variant)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
 }

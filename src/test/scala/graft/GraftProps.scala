@@ -161,6 +161,17 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("intersect/except == Scala set semantics for any multisets") =
+    forAll(Gen.listOfN(20, Gen.choose(0, 8)),
+        Gen.listOfN(20, Gen.choose(0, 8))) { (a, b) =>
+      (a.nonEmpty && b.nonEmpty) ==> {
+        val da = a.toDF("x")
+        val db = b.toDF("x")
+        da.intersect(db).as[Int].collect().toSet == (a.toSet & b.toSet) &&
+        da.except(db).as[Int].collect().toSet == (a.toSet -- b.toSet)
+      }
+    }
+
   property("jaccard df-cap: underestimates, never overestimates, any pair") =
     forAll(Gen.listOfN(5, Gen.listOfN(8,
         Gen.oneOf("aa", "bb", "cc", "dd", "ee"))),
