@@ -1,9 +1,8 @@
 package graft
 
 /** Dev diagnostic: print plan-quality findings for every registered
-  * non-ML query at sf0.001 — which plans contain CartesianProduct,
-  * BroadcastNestedLoopJoin, or a non-final single-partition exchange.
-  * The enforced form lives in PlanLintSpec. */
+  * non-ML query at sf0.001 — which plans contain CartesianProduct or
+  * BroadcastNestedLoopJoin. The enforced form lives in PlanLintSpec. */
 object PlanLint {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -55,11 +55,17 @@ object SimilarityQueries {
         // float space; the oracle pins the query count and the ≥90%
         // top-1 agreement claim (observed 100% on the fixtures — the
         // claim bound leaves room for legitimate quantized rank flips).
-        val emb = Tables.embeddings(s, d)
-        val dq = Similarity.quantizeInt8(emb, "embedding")
-          .select(col("vec_id"),
-            Similarity.dequantizeInt8(col("q8"), col("q8_scale"))
-              .as("embedding"))
+        // both searches consume their corpus twice (query side + index
+        // side) — persist each once so the scan and the quantize/
+        // dequantize transforms run once per row, not per consumer
+        // (the house persist-shared-lineage pattern)
+        val emb = graft.ops.RelationalOps.materialized(
+          Tables.embeddings(s, d).select("vec_id", "embedding"))
+        val dq = graft.ops.RelationalOps.materialized(
+          Similarity.quantizeInt8(emb, "embedding")
+            .select(col("vec_id"),
+              Similarity.dequantizeInt8(col("q8"), col("q8_scale"))
+                .as("embedding")))
         val exact = Similarity
           .cosineTopK(emb.filter(col("vec_id") < 20), emb, "vec_id",
             "embedding", k = 1)
@@ -68,13 +74,17 @@ object SimilarityQueries {
           .cosineTopK(dq.filter(col("vec_id") < 20), dq, "vec_id",
             "embedding", k = 1)
           .select(col("query_id"), col("neighbor_id").as("q8_nn"))
-        exact.join(approx, Seq("query_id"))
-          .agg(count(lit(1)).as("n_queries"),
-            sum(when(col("exact_nn") === col("q8_nn"), 1L).otherwise(0L))
-              .as("agree"))
-          .select(col("n_queries"),
-            (col("agree").cast("double") >=
-              col("n_queries").cast("double") * 0.9).as("recall_ok"))
+        val out = graft.ops.RelationalOps.materialized(
+          exact.join(approx, Seq("query_id"))
+            .agg(count(lit(1)).as("n_queries"),
+              sum(when(col("exact_nn") === col("q8_nn"), 1L).otherwise(0L))
+                .as("agree"))
+            .select(col("n_queries"),
+              (col("agree").cast("double") >=
+                col("n_queries").cast("double") * 0.9).as("recall_ok")))
+        emb.unpersist()
+        dq.unpersist()
+        out
       },
       Some("""SELECT count(*) AS n_queries, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id < 20""".stripMargin),

@@ -233,41 +233,56 @@ object Dedup {
     * Iterative min-label propagation: every node starts labeled with its
     * own id; each round takes the min of its neighbors' labels; fixpoint
     * = components labeled by their min member. Each round is one
-    * shuffle-join + one aggregation, and the label frame is
-    * `localCheckpoint`ed per round — without truncation the plan doubles
+    * shuffle-join + one aggregation. Lineage is truncated per round by
+    * rebuilding the label frame from an explicitly persisted row RDD
+    * (`LogicalRDD` boundary) — without truncation the plan tree doubles
     * every iteration and Catalyst re-derives the whole chain (the
-    * classic iterative-algorithm trap; at cluster scale use reliable
-    * `checkpoint` to survive executor loss). Converges in O(diameter)
-    * rounds — near-duplicate clusters are star/clique shaped (diameter
-    * ≤ ~3), so 3–4 rounds in practice; for adversarial long-path graphs
-    * use the large-star/small-star variant (O(log n) rounds).
+    * classic iterative-algorithm trap). Owning the RDD handle (instead
+    * of `localCheckpoint`, whose storage is only freed when the GC
+    * collects the RDD) lets each round unpersist the previous round's
+    * blocks eagerly, so at most two label tables are ever materialized;
+    * the RETURNED frame stays persisted for the caller. At cluster
+    * scale use reliable `checkpoint` to also survive executor loss.
+    * Converges in O(diameter) rounds — near-duplicate clusters are
+    * star/clique shaped (diameter ≤ ~3), so 3–4 rounds in practice; for
+    * adversarial long-path graphs use the large-star/small-star variant
+    * (O(log n) rounds).
     *
     * Returns (id, label) for every node that appears in an edge. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
                           maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
     val sym = RelationalOps.materialized(
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // persist + rebuild from the RDD: truncates lineage like
+    // localCheckpoint but keeps the storage handle so it can be freed
+    def truncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    var (labels, labelsRdd) = truncate(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr"))
-      val next = labels
+      val (next, nextRdd) = truncate(labels
         .join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr"),
-          col("label"))).as("label"))
-        .localCheckpoint()
+          col("label"))).as("label")))
       converged = next
         .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
         .filter(col("label") =!= col("prev"))
         .isEmpty
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       iter += 1
     }
     sym.unpersist()

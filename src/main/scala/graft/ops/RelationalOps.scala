@@ -206,9 +206,12 @@ object RelationalOps {
     * generic window-skew caveat — pre-split such keys by time range and
     * stitch the boundary row if that ever dominates.
     *
-    * The right side should be unique per (key, time) — pre-aggregate if
-    * not — or the carried match among equal-time right rows is
-    * order-dependent. */
+    * The right side should be unique per (key, time) — pre-aggregate to
+    * pick the semantically meaningful row. If it is not unique, the
+    * winner among equal-(key, time) right rows is still DETERMINISTIC
+    * (the window order carries an xxhash64 of the right payload as the
+    * final tie-break, so reruns and repartitionings agree), just not
+    * semantically chosen. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                time: String, out: String = "asof"): DataFrame = {
     import org.apache.spark.sql.types.StructType
@@ -224,7 +227,7 @@ object RelationalOps {
       lit(null).cast(lType).as("__l"),
       struct(rFields.map(f => col(f.name)).toIndexedSeq: _*).as("__r"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lPart.unionByName(rPart)
       .withColumn(out, last(col("__r"), ignoreNulls = true).over(w))

@@ -205,21 +205,44 @@ class MlStreamSpec extends AnyFunSuite {
   }
 
   test("streaming dedup emits exactly one row per distinct content hash") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
-    val q = StreamingWindows.dedupStream(spark, Sf, rawSchema, "dedup_spec")
+    // the raw fixture has NO duplicate (user_id, event_type, value)
+    // triples, which would make this test pass even with the dedup line
+    // deleted — stage a copy with 100 planted duplicates (same content,
+    // ts shifted +1s, well inside the watermark horizon) so the operator
+    // must actually drop rows
+    val base = Tables.events(spark, Sf)
+      .select("ts", "event_id", "user_id", "event_type", "value")
+    val planted = base.limit(100)
+      .withColumn("ts", col("ts") + expr("interval 1 second"))
+      .withColumn("event_id", col("event_id") + 1000000L)
+    val staged = base.unionByName(planted)
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_dedup_raw")
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    staged.coalesce(1).write.mode("overwrite").parquet(tmpA.toString)
+    val part = java.nio.file.Files.list(tmpA).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      tmpB.resolve("events.parquet"))
+    val nTotal = staged.count()
+    val rawSchema = spark.read.parquet(s"$tmpB/events.parquet").schema
+    val q = StreamingWindows.dedupStream(spark, tmpB.toString, rawSchema,
+      "dedup_spec")
     try {
       q.processAllAvailable()
       val streamed = spark.table("dedup_spec")
         .select("content_hash").as[String].collect()
-      val batchHashes = Tables.events(spark, Sf)
+      val batchHashes = spark.read.parquet(s"$tmpB/events.parquet")
         .select(md5(concat_ws("|", col("user_id"), col("event_type"),
           col("value"))).as("h"))
         .distinct().as[String].collect().toSet
+      // the staged input REALLY contains duplicates...
+      assert(batchHashes.size.toLong < nTotal,
+        "staging failed to plant duplicate content")
+      // ...the stream dropped them: one emission per digest, sets agree
       assert(streamed.nonEmpty)
-      // one emission per digest, and the digest sets agree with batch
       assert(streamed.length == streamed.distinct.length,
         "a digest was emitted more than once within the horizon")
+      assert(streamed.length < nTotal, "no rows were deduplicated")
       assert(streamed.toSet == batchHashes,
         s"stream=${streamed.length} batch=${batchHashes.size}")
     } finally q.stop()
