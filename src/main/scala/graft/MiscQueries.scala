@@ -430,6 +430,46 @@ object MiscQueries {
              |ORDER BY set_op, o_custkey""".stripMargin),
       doc = "INTERSECT and EXCEPT (distinct set semantics): Catalyst plans them as semi/anti join + distinct — completes the §2.6 set family next to UNION (q18)"),
 
+    // ---- correlated subqueries (decorrelation) ---------------------------
+    GQuery("q84_correlated_subqueries",
+      (s, d) => {
+        // correlated scalar + EXISTS subqueries through the SQL surface:
+        // Catalyst DECORRELATES them (RewriteCorrelatedScalarSubquery /
+        // RewritePredicateSubquery) into one aggregate + left join and
+        // one left-semi join — NOT per-outer-row re-execution, so the
+        // plan is the same two hash joins a hand-written DataFrame form
+        // would produce. The naive interpretation (re-run the subquery
+        // per customer) would be an O(n·m) scale-killer.
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c.c_custkey,
+            (SELECT count(*) FROM orders_v o
+             WHERE o.o_custkey = c.c_custkey) AS n_orders,
+            (SELECT CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT)
+             FROM orders_v o
+             WHERE o.o_custkey = c.c_custkey) AS spend_cents
+          FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+          ORDER BY c.c_custkey""")
+      },
+      Some("""SELECT c.c_custkey,
+             |  (SELECT count(*) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             |  (SELECT CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+             |          AS BIGINT)
+             |   FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS spend_cents
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c.c_custkey""".stripMargin),
+      doc = "correlated scalar + EXISTS subqueries: Catalyst decorrelates into aggregate + left join and left-semi join (never per-row re-execution) — the §2.3 subquery surface through spark.sql"),
+
     // ---- unpivot / melt -------------------------------------------------
     GQuery("q56_unpivot",
       (s, d) => Tables.part(s, d)
