@@ -171,6 +171,41 @@ object MiscQueries {
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       doc = "§2.7 scalar breadth in one projection: date parts/trunc/arithmetic, datediff, regexp_extract, translate, lpad, substring — all row-local codegen (DuckDB dow is 0-based, Spark 1-based: oracle shifts)"),
 
+    // ---- Count-Min frequency sketch --------------------------------------
+    GQuery("q85_freq_sketch",
+      (s, d) => {
+        // the third mergeable sketch next to HLL (q66 distinct) and
+        // t-digest (q66 percentile): Count-Min for per-key frequency.
+        // Built distributed (per-partition sketches merged by counter
+        // addition — commutative, so deterministic under any partition
+        // order); only the fixed-size sketch and the bounded top-10 key
+        // list ever reach the driver. The oracle pins the exact top-10
+        // counts and CMS's two guarantees: estimates NEVER undercount
+        // (deterministic), and overshoot stays within eps·N (probabilistic
+        // at conf=0.99, comfortable at these widths).
+        val li = Tables.lineitem(s, d).select(col("l_partkey"))
+        val cms = li.stat.countMinSketch(col("l_partkey"),
+          eps = 0.001, confidence = 0.99, seed = 42)
+        val top = li.groupBy("l_partkey").count()
+          .orderBy(col("count").desc, col("l_partkey")).limit(10)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val total = cms.totalCount()
+        val rows = top.map { case (k, exact) =>
+          val est = cms.estimateCount(k)
+          (k, exact, est >= exact,
+            est <= exact + (0.001 * total).ceil.toLong)
+        }
+        import s.implicits._
+        rows.toSeq
+          .toDF("l_partkey", "exact_n", "never_undercounts", "within_eps")
+          .orderBy(col("exact_n").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey, count(*) AS exact_n,
+             |  TRUE AS never_undercounts, TRUE AS within_eps
+             |FROM lineitem GROUP BY 1
+             |ORDER BY exact_n DESC, l_partkey LIMIT 10""".stripMargin),
+      doc = "Count-Min frequency sketch (distributed build, commutative merge) completing the mergeable-sketch family: exact top-10 key counts pinned by the oracle plus the no-undercount and eps·N-overshoot guarantees as claims"),
+
     // ---- W5 seeded random row pick --------------------------------------
     GQuery("q43_seeded_pick",
       (s, d) => Tables.customer(s, d)
