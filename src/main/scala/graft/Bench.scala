@@ -50,11 +50,14 @@ object Bench {
       // Locale.ROOT: a comma-decimal default locale would break the
       // one-JSON-line contract
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Run-twice-min protocol (documented in BASELINE.md): single-run
-    // timings on a shared machine swing far beyond the plan cost —
-    // GC pauses and JIT/codegen warmup land on whichever query runs
-    // first — so each query runs twice and reports the min; both raw
-    // runs are kept in the JSON so the noise itself stays visible.
+    // Timing protocol (documented in BASELINE.md): single-run timings on a
+    // shared machine swing far beyond the plan cost — GC pauses and
+    // JIT/codegen warmup land on whichever query runs first. Each query
+    // runs twice and reports the min; SUB-2s queries (where a single GC
+    // pause is a >2× swing — q39-style) get a third run and report the
+    // MEDIAN of 3, which is robust to one outlier in either direction.
+    // All raw runs are kept in the JSON so the noise itself stays visible.
+    val Protocol = "min_of_2_median_of_3_sub2s"
     val results = selected.map { q =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -76,9 +79,15 @@ object Bench {
         (elapsed, err)
       }
       val first = once()
-      val runs = if (first._2.isEmpty) Seq(first, once()) else Seq(first)
+      var runs = if (first._2.isEmpty) Seq(first, once()) else Seq(first)
+      val reported =
+        if (runs.exists(_._2.isDefined)) -1.0
+        else if (runs.map(_._1).min < 2.0) {
+          runs = runs :+ once()
+          runs.map(_._1).sorted.apply(1) // median of 3
+        } else runs.map(_._1).min
       val err = runs.flatMap(_._2).headOption
-      (q.name, runs.map(_._1).min, err, runs.map(_._1))
+      (q.name, reported, err, runs.map(_._1))
     }
     val qs = results.map { case (k, v, err, _) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else fmt(v))
@@ -91,7 +100,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val nFailed = results.count(_._3.isDefined)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"errors":$errs,"n_failed":$nFailed,"protocol":"min_of_2","sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"errors":$errs,"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir"}"""
+    println(json)
+    // ALSO write to a file: the driver captures only a tail of stdout, and
+    // the one-line JSON has twice been clipped mid-object (BENCH_r04/r05,
+    // losing ~half the per-query timings). The file is the durable copy.
+    try {
+      val outPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json"))
+      Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(outPath,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] result JSON also written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] file write failed (stdout line stands): $e")
+    }
     spark.stop()
   }
 }

@@ -22,7 +22,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // A failed query leaves no parquet dir; errors.json names every
     // failure so a missing dump is never silently "unmeasured".
-    val errors = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // SPARK_GRAFT_ONLY=q17,q32 — builder-side targeted re-verification;
+    // the driver never sets it (full dump)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val errors = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap {
       case (name, fn) =>
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -53,6 +59,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors

@@ -291,4 +291,29 @@ class OpsSpec extends AnyFunSuite {
       .select("s").as[Double].collect().sorted
     assert(scaled.toSeq == Seq(0.0, 0.5, 1.0))
   }
+
+  test("dictionary queries leave no persisted RDDs behind (zipWithRank lifecycle)") {
+    // The round-3→5 leak: zipWithRank persisted its sorted RDD with no
+    // owner, so every dictionary consumer accumulated cache blocks across
+    // queries in a long-lived session. Now nothing is persisted — run the
+    // dictionary-backed registered queries end-to-end and assert the
+    // persistent-RDD map gained nothing.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, s"$sf fixture not present")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("q17_string_indexer", "q40_text_fingerprint", "q46_positional_join")
+      .foreach { name =>
+        QueryRegistry.queries(name)(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"dictionary queries left persisted RDDs: $leaked")
+    // and the direct operator path, with a shuffle-bearing lineage
+    val dict = RelationalOps.frequencyIndex(
+      Seq("x", "y", "y", "z", "z").toDF("v").repartition(3), "v")
+    dict.write.format("noop").mode("overwrite").save()
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked2.isEmpty, s"frequencyIndex left persisted RDDs: $leaked2")
+  }
 }
