@@ -36,6 +36,62 @@ class PlanLintSpec extends AnyFunSuite {
     "q34_knn_bruteforce",         // bounded (20-vector) query side
     "q77_quantized_recall")       // bounded query side, exact + quantized
 
+  /** Scan-quality gate for the queries whose whole point is what reaches
+    * the parquet scan: filters must push down (`PushedFilters`), unused
+    * columns must be pruned (`ReadSchema`), and a partition-column filter
+    * must prune directories at planning time (`PartitionFilters`). At
+    * 100 TB these are the difference between scanning terabytes and
+    * scanning gigabytes — asserting them here means a future refactor
+    * that breaks pushdown (a UDF wrapper, a cast on the filter column)
+    * fails CI instead of silently scanning everything. */
+  test("scan quality: pushdown, pruning and partition filters reach the scans") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def planOf(name: String): String =
+      QueryRegistry.byName(name).fn(spark, Sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    def lines(plan: String, key: String): Seq[String] =
+      plan.linesIterator.filter(_.trim.startsWith(key)).toSeq
+    def assertSome(plan: String, key: String, name: String,
+                   needles: String*): Unit = {
+      val ls = lines(plan, key)
+      assert(ls.nonEmpty, s"$name: no $key in plan:\n$plan")
+      needles.foreach { n =>
+        assert(ls.exists(_.contains(n)),
+          s"$name: $key lines ${ls.mkString(" | ")} miss '$n'")
+      }
+    }
+    def assertNone(plan: String, key: String, name: String,
+                   needles: String*): Unit =
+      needles.foreach { n =>
+        assert(!lines(plan, key).exists(_.contains(n)),
+          s"$name: $key unexpectedly mentions '$n'")
+      }
+
+    // q03: both range predicates push into the lineitem scan; only the 4
+    // projected columns are read (16-column table)
+    val q03 = planOf("q03_filter_project")
+    assertSome(q03, "PushedFilters", "q03", "l_quantity", "l_discount")
+    assertSome(q03, "ReadSchema", "q03", "l_orderkey")
+    assertNone(q03, "ReadSchema", "q03", "l_comment", "l_partkey",
+      "l_extendedprice")
+
+    // q19: equality predicate pushed, 2-of-9 columns read
+    val q19 = planOf("q19_project_prune")
+    assertSome(q19, "PushedFilters", "q19", "EqualTo(p_brand,Brand#1)")
+    assertSome(q19, "ReadSchema", "q19", "p_partkey")
+    assertNone(q19, "ReadSchema", "q19", "p_name", "p_retailprice")
+
+    // q63: the event_type predicate lands in PartitionFilters (directory
+    // pruning at planning time), NOT in the data filters
+    val q63 = planOf("q63_partition_pruning")
+    assertSome(q63, "PartitionFilters", "q63", "event_type", "purchase")
+
+    // q70: the shipdate range filter pushes into the range-clustered scan,
+    // where the per-file min/max footer stats make it skip whole files
+    val q70 = planOf("q70_range_cluster")
+    assertSome(q70, "PushedFilters", "q70", "l_shipdate")
+  }
+
   test("no CartesianProduct anywhere; BNLJ only with bounded broadcast sides") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
     QueryRegistry.all.filterNot(_.name.startsWith("qml")).foreach { q =>
