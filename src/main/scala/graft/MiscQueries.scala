@@ -642,6 +642,56 @@ object MiscQueries {
         .orderBy("ccustkey"),
       Some("""SELECT c_custkey AS ccustkey, round(c_acctbal, 2) AS cacctbal
              |FROM customer ORDER BY 1""".stripMargin),
-      doc = "P12 name sanitize (reference functions.py:22-28 strips '.' for Spark compatibility)")
+      doc = "P12 name sanitize (reference functions.py:22-28 strips '.' for Spark compatibility)"),
+
+    // ---- S1 tolerant ingest: PERMISSIVE corrupt-record + DROPMALFORMED --
+    GQuery("q86_csv_permissive",
+      (s, d) => {
+        val tmp = Staging.dir("csvdirty", d)
+        // plant deterministic dirt: every 5th nation row gets a
+        // non-numeric region key — the schema-violating line every
+        // real-world CSV feed eventually contains. Staged as raw text so
+        // the corruption survives exactly as written.
+        Tables.nation(s, d)
+          .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+            when(pmod(col("n_nationkey"), lit(5)) === 0, lit("XX"))
+              .otherwise(col("n_regionkey").cast("string"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(tmp)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        // PERMISSIVE: malformed lines land verbatim in _corrupt_record
+        // with the failed fields null — countable and quarantinable, one
+        // scan. CRITICAL pruning subtlety: the CSV parser only parses
+        // the columns the query references, so a plan that never reads
+        // n_regionkey never HITS the planted dirt and reports zero
+        // corruption (and a bare count() on the DROPMALFORMED read drops
+        // nothing for the same reason). Every aggregate below therefore
+        // references the dirty column explicitly; this also satisfies
+        // Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction.
+        val parsed = Sources.csvPermissive(s, tmp, schema)
+        // DROPMALFORMED must agree with the clean-row count: the two
+        // tolerant modes are consistent views of the same dirt. Bounded
+        // scalar (one count over a dimension-sized file).
+        val nDropped = Sources.csvDropMalformed(s, tmp, schema)
+          .agg(count(col("n_regionkey"))).head().getLong(0)
+        parsed.agg(
+            count(lit(1)).as("n_total"),
+            count(when(col("_corrupt_record").isNull,
+              col("n_nationkey"))).as("n_clean"),
+            count(col("_corrupt_record")).as("n_corrupt"),
+            count(col("n_regionkey")).as("n_region_parsed"))
+          .withColumn("drop_parity", lit(nDropped) === col("n_clean"))
+      },
+      // the oracle knows which rows were corrupted (the planted n%5 rule)
+      // and that DROPMALFORMED parity must hold
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_total,
+             |  CAST(count(*) FILTER (WHERE n_nationkey % 5 != 0) AS BIGINT) AS n_clean,
+             |  CAST(count(*) FILTER (WHERE n_nationkey % 5 = 0) AS BIGINT) AS n_corrupt,
+             |  CAST(count(*) FILTER (WHERE n_nationkey % 5 != 0) AS BIGINT) AS n_region_parsed,
+             |  TRUE AS drop_parity
+             |FROM nation""".stripMargin),
+      doc = "S1 tolerant CSV ingest over a dirty file: PERMISSIVE quarantines malformed rows in _corrupt_record (clean/corrupt split oracle-checked), DROPMALFORMED row-count parity proven in the same result (reference datacleaning.py:26 — its inferSchema ingest had no dirt story)")
   )
 }

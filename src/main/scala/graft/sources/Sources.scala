@@ -36,6 +36,40 @@ object Sources {
       "header" -> header.toString,
       "delimiter" -> delimiter)).csv(path)
 
+  /** S1 tolerant ingest — PERMISSIVE parse with a corrupt-record column
+    * (the production form of the reference's real-world CSV reality,
+    * `PySpark Scripts/datacleaning.py:26`: its pandas/inferSchema ingest
+    * silently coerces dirt; at 100 TB a single malformed line must
+    * neither kill the job nor vanish silently). Rows that fail the
+    * schema land verbatim in `corruptCol` with the typed fields null,
+    * so dirt is countable, quarantinable, and re-parsable downstream.
+    * Note Spark refuses plans that reference ONLY the corrupt column —
+    * always keep at least one data column in the projection. */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType,
+                    corruptCol: String = "_corrupt_record",
+                    header: Boolean = false,
+                    delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+      .options(Map(
+        "header" -> header.toString,
+        "delimiter" -> delimiter,
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)).csv(path)
+
+  /** S1 tolerant ingest, row-drop variant: malformed rows are silently
+    * discarded at the parser (DROPMALFORMED). Same scan shape as
+    * [[csvWithSchema]]; use [[csvPermissive]] when the dirt itself must
+    * be audited. */
+  def csvDropMalformed(spark: SparkSession, path: String,
+                       schema: StructType, header: Boolean = false,
+                       delimiter: String = ","): DataFrame =
+    spark.read.schema(schema).options(Map(
+      "header" -> header.toString,
+      "delimiter" -> delimiter,
+      "mode" -> "DROPMALFORMED")).csv(path)
+
   /** S2 — single-file CSV sink with header, overwrite (reference parity:
     * `datacleaning.py:30,98`). `coalesce(1)` is the reference's own
     * anti-optimization — one task writes the file. */
