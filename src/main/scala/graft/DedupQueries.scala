@@ -167,6 +167,59 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "MinHash(16)×4-band LSH; dictionary sids for oracle parity, xxhash64 in production"),
 
+    // ---- MinHash production path: xxhash64 shingle ids, no dictionary ---
+    GQuery("q87_minhash_production",
+      (s, d) => {
+        // The PRODUCTION minhash path (`useDictionaryIds = false`,
+        // Dedup.shingleIds): shingles keyed by row-local xxhash64 — no
+        // global dictionary, no distributed sort, one fewer shuffle
+        // than the oracle-parity path q32 runs. DuckDB cannot replicate
+        // xxhash64, so the oracle checks the CLAIM instead of the hash
+        // values: every true near-dup pair (Jaccard >= 0.9 — the
+        // fixture's planted pairs sit at ~0.9-0.99) must appear among
+        // the production path's candidates. 16 hashes × 4-row bands
+        // catch an s=0.9 pair with p ≈ 0.986 per banding theory; the
+        // check is exact-deterministic per dataset (no RNG anywhere).
+        val docs = Tables.documents(s, d)
+        val prod = Dedup.minhashCandidates(
+          Dedup.minhashBuckets(
+            Dedup.shingleIds(
+              Dedup.shingles(docs, "doc_id", "text", 3),
+              useDictionaryIds = false),
+            "doc_id", numHashes = 16, rowsPerBand = 4),
+          "doc_id")
+        val truth = Dedup
+          .jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
+            "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.9)
+        truth
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .join(prod.withColumn("caught", lit(true)),
+            Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            coalesce(col("caught"), lit(false)).as("caught"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $ShinglesCte
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |          FROM shf a JOIN shf b ON a.shingle = b.shingle
+              |            AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  round(c*1.0/(na.n + nb.n - c), 6) AS jaccard,
+              |  TRUE AS caught
+              |FROM pairs
+              |JOIN sizes na ON id_a = na.doc_id
+              |JOIN sizes nb ON id_b = nb.doc_id
+              |WHERE c*1.0/(na.n + nb.n - c) >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin),
+      doc = "the PRODUCTION minhash path end-to-end (xxhash64 shingle ids — no dictionary, no global sort): oracle-checked claim that every true Jaccard>=0.9 pair is among its LSH candidates; q32 keeps the dictionary path for value-level oracle parity"),
+
     // ---- SimHash near-dup pairs -----------------------------------------
     GQuery("q33_dedup_simhash",
       (s, d) => {
