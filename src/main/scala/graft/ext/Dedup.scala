@@ -272,16 +272,28 @@ object Dedup {
       val nbrMin = sym.join(labels, col("src") === col("id"))
         .groupBy(col("dst"))
         .agg(min(col("label")).as("nbr"))
-      val (next, nextRdd) = truncate(labels
+      // ONE action per round: the step frame carries a per-row "label
+      // shrank" flag, and the same job that materializes the next label
+      // table tallies the flags through an accumulator — no separate
+      // convergence probe (which used to cost a second pass over the
+      // labels each round). A task retry can only over-count the
+      // accumulator, so a spurious non-zero costs at most one extra
+      // round; a zero is exact, so convergence is never declared early.
+      val stepped = labels
         .join(nbrMin, col("id") === col("dst"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nbr"),
-          col("label"))).as("label")))
-      converged = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
+          col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label"))
+            .as("__changed"))
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val nextRdd = stepped.rdd.map { row =>
+        if (row.getBoolean(2)) acc.add(1L)
+        org.apache.spark.sql.Row(row.get(0), row.get(1))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nextRdd.count()
+      converged = acc.value == 0L
       labelsRdd.unpersist(blocking = false)
-      labels = next
+      labels = spark.createDataFrame(nextRdd, labels.schema)
       labelsRdd = nextRdd
       iter += 1
     }

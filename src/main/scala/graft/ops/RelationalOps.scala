@@ -223,9 +223,27 @@ object RelationalOps {
     * winner among equal-(key, time) right rows is still DETERMINISTIC
     * (the window order carries an xxhash64 of the right payload as the
     * final tie-break, so reruns and repartitionings agree), just not
-    * semantically chosen. */
+    * semantically chosen.
+    *
+    * Hot-key mitigation: a key holding a disproportionate share of rows
+    * funnels its whole stream through one window task — the generic
+    * window-skew hazard. With `hotKeyThreshold` set, keys whose row
+    * count exceeds it are pre-split into `hotKeyBuckets` contiguous
+    * TIME RANGES (per-key approx-quantile split points, so the ranges
+    * are balanced); the running window then partitions by (key, bucket)
+    * and a per-bucket carry-in — the last right row of all earlier
+    * buckets, computed on a tiny (hot-keys × buckets) frame — stitches
+    * the boundary, so results are identical to the single-window plan.
+    * Bucket assignment is monotone in time (same time ⇒ same bucket),
+    * which is what makes the stitch exact; the split points themselves
+    * may vary run-to-run (approx sketch), but the OUTPUT is invariant
+    * to where the cuts land. Costs two extra narrow passes over the
+    * union (per-key counts + hot-key quantiles), both map-side-combined
+    * — the default threshold disables the machinery entirely. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
-               time: String, out: String = "asof"): DataFrame = {
+               time: String, out: String = "asof",
+               hotKeyThreshold: Long = Long.MaxValue,
+               hotKeyBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.types.StructType
     val rFields = right.schema.fields.filterNot(_.name == key)
     val lType = StructType(left.schema.fields)
@@ -238,13 +256,62 @@ object RelationalOps {
       lit(0).as("__side"),
       lit(null).cast(lType).as("__l"),
       struct(rFields.map(f => col(f.name)).toIndexedSeq: _*).as("__r"))
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lPart.unionByName(rPart)
-      .withColumn(out, last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(col("__l.*"), col(out))
+    val unioned = lPart.unionByName(rPart)
+    if (hotKeyThreshold == Long.MaxValue) {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      unioned
+        .withColumn(out, last(col("__r"), ignoreNulls = true).over(w))
+        .filter(col("__side") === 1)
+        .select(col("__l.*"), col(out))
+    } else {
+      require(hotKeyBuckets > 1,
+        "asOfJoin: hotKeyBuckets must be > 1 when hot-key splitting is on")
+      // hot keys are few by definition (each holds > threshold rows), so
+      // both the hot-key list and the per-key split points broadcast
+      val hot = unioned.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotKeyThreshold).select(col(key))
+      val probs = array((1 until hotKeyBuckets)
+        .map(i => lit(i.toDouble / hotKeyBuckets)): _*)
+      val splits = unioned.join(broadcast(hot), Seq(key), "left_semi")
+        .groupBy(col(key))
+        .agg(percentile_approx(col("__t").cast("double"), probs,
+          lit(10000)).as("__splits"))
+      // bucket = number of split points <= t: monotone in t, so every
+      // bucket is a contiguous time range and equal times share a bucket
+      val withB = unioned.join(broadcast(splits), Seq(key), "left")
+        .withColumn("__bucket",
+          when(col("__splits").isNull, lit(0)).otherwise(
+            size(filter(col("__splits"),
+              s => s <= col("__t").cast("double")))))
+        .drop("__splits")
+      val wB = Window.partitionBy(col(key), col("__bucket"))
+        .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val windowed = withB.withColumn("__run",
+        last(col("__r"), ignoreNulls = true).over(wB))
+      // carry-in per (key, bucket): the winning right row of each bucket
+      // (same (t, hash) order as the window), prefix-propagated across
+      // buckets on a frame of at most (#keys × buckets) rows — the
+      // window below is over ≤ hotKeyBuckets rows per key, never data
+      val lastPerBucket = withB.filter(col("__side") === 0)
+        .groupBy(col(key), col("__bucket"))
+        .agg(max_by(col("__r"),
+          struct(col("__t"), xxhash64(col("__r")))).as("__last_r"))
+      val spine = withB.select(col(key), col("__bucket")).distinct()
+      val wCarry = Window.partitionBy(col(key)).orderBy(col("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = spine
+        .join(lastPerBucket, Seq(key, "__bucket"), "left")
+        .withColumn("__carry",
+          last(col("__last_r"), ignoreNulls = true).over(wCarry))
+        .select(col(key), col("__bucket"), col("__carry"))
+      windowed.join(carry, Seq(key, "__bucket"), "left")
+        .withColumn(out, coalesce(col("__run"), col("__carry")))
+        .filter(col("__side") === 1)
+        .select(col("__l.*"), col(out))
+    }
   }
 
   /** W4 — grouped top-k via ranked window; Spark 4's WindowGroupLimit rule

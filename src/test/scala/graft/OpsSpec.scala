@@ -292,6 +292,72 @@ class OpsSpec extends AnyFunSuite {
     assert(scaled.toSeq == Seq(0.0, 0.5, 1.0))
   }
 
+  test("connectedComponents runs one job per round (accumulator convergence)") {
+    // path graph 1-2-3-4-5-6: the min label walks one hop per round, so
+    // 5 propagation rounds + 1 quiet round prove convergence. Each round
+    // must cost exactly ONE job (the count that materializes the next
+    // label table and tallies the changed-flags accumulator) — the old
+    // shape paid a second isEmpty probe per round. Expected: 1 job for
+    // the symmetrized edge materialization + 6 round jobs = 7.
+    // AQE submits one JOB per query stage and a broadcast-hash join one
+    // per broadcast build — both would hide the action-count claim under
+    // physical-plan noise. Disable them here so one ACTION == one job
+    // and the assertion is exact.
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val sc = spark.sparkContext
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("cc-jobs", "connectedComponents job audit")
+    val labels = try graft.ext.Dedup.connectedComponents(edges, "a", "b")
+      finally {
+        sc.clearJobGroup()
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    // status listener is async: poll until the job count stops moving
+    def groupJobs: Int = sc.statusTracker.getJobIdsForGroup("cc-jobs").length
+    var (prev, cur, spins) = (-1, groupJobs, 0)
+    while (prev != cur && spins < 50) {
+      prev = cur; Thread.sleep(100); cur = groupJobs; spins += 1
+    }
+    assert(cur <= 8, s"expected ~7 jobs (1 edge-materialize + 6 rounds), got $cur")
+    // and the answer is still right: one component labeled by its min
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 6 && out.forall(_._2 == 1L))
+  }
+
+  test("asOfJoin hot-key split equals the single-window plan and buckets the window") {
+    // key 1 holds 90% of rows — the scenario where the plain as-of join
+    // funnels everything through one window task
+    val left = spark.range(20000).select(
+      when(col("id") % 10 < 9, 1L).otherwise(2L).as("k"),
+      pmod(col("id") * 7, lit(100000)).as("t"),
+      col("id").as("lv"))
+    val right = spark.range(2000).select(
+        when(col("id") % 10 < 9, 1L).otherwise(2L).as("k"),
+        pmod(col("id") * 31, lit(100000)).as("t"),
+        col("id").as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv")) // unique per (key, time)
+    val plain = RelationalOps.asOfJoin(left, right, "k", "t")
+      .select(col("lv"), col("asof.rv").as("rv"))
+    val split = RelationalOps.asOfJoin(left, right, "k", "t", "asof",
+      hotKeyThreshold = 1000L, hotKeyBuckets = 16)
+      .select(col("lv"), col("asof.rv").as("rv"))
+    // boundary stitch must be EXACT: identical matches row for row
+    val p = plain.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val s = split.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(p == s && p.nonEmpty)
+    // and the running window actually partitions by (key, bucket)
+    val planStr = split.queryExecution.executedPlan.toString
+    assert(planStr.contains("__bucket"),
+      s"window not bucket-partitioned:\n${planStr.take(2000)}")
+  }
+
   test("dictionary queries leave no persisted RDDs behind (zipWithRank lifecycle)") {
     // The round-3→5 leak: zipWithRank persisted its sorted RDD with no
     // owner, so every dictionary consumer accumulated cache blocks across
