@@ -274,10 +274,26 @@ object RelationalOps {
         .filter(col("__n") > hotKeyThreshold).select(col(key))
       val probs = array((1 until hotKeyBuckets)
         .map(i => lit(i.toDouble / hotKeyBuckets)): _*)
-      val splits = unioned.join(broadcast(hot), Seq(key), "left_semi")
+      // The split points are COLLECTED once and re-broadcast as a literal
+      // local relation, for correctness, not convenience: the bucketed
+      // frame feeds three subtrees (window, per-bucket-last, spine), and
+      // approx-quantile results can vary with partial-merge order across
+      // re-executions — branches disagreeing on a boundary would mis-
+      // stitch a carry row. The collect is self-bounding: every hot key
+      // holds > hotKeyThreshold rows, so there are at most
+      // total/hotKeyThreshold rows here, independent of data scale.
+      val splitRows = unioned.join(broadcast(hot), Seq(key), "left_semi")
         .groupBy(col(key))
         .agg(percentile_approx(col("__t").cast("double"), probs,
           lit(10000)).as("__splits"))
+        .collect()
+      val splitSchema = org.apache.spark.sql.types.StructType(Seq(
+        unioned.schema(key),
+        org.apache.spark.sql.types.StructField("__splits",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      val splits = unioned.sparkSession.createDataFrame(
+        java.util.Arrays.asList(splitRows: _*), splitSchema)
       // bucket = number of split points <= t: monotone in t, so every
       // bucket is a contiguous time range and equal times share a bucket
       val withB = unioned.join(broadcast(splits), Seq(key), "left")
