@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Builder-side replica of the driver's DuckDB correctness compare.
+
+Usage:
+    python3 scripts/verify_local.py <sfDir> <verifyOutDir> [qname,...]
+
+Reads the parquet dumps `graft.Verify` wrote to <verifyOutDir>, runs each
+query's oracle SQL (from <verifyOutDir>/oracle_sql.json) in DuckDB over
+the parquet tables in <sfDir>, and value-compares: row count, column set,
+and cell-by-cell equality after sorting columns by name (the driver's
+hash-compare normalization). Exits non-zero on any mismatch.
+
+This is a LOCAL validation tool (python/duckdb are driver-side deps, not
+library deps) — the shipped Scala library never imports any of this.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+
+def fail(msg):
+    print(f"FAIL {msg}")
+    return False
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        if a is None or b is None:
+            return False
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        # oracle-parity rules round floats before compare; allow only
+        # representation-level slack, not value-level tolerance
+        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, bytes) and isinstance(b, bytes):
+        return a == b
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    errors = {}
+    errs_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(errs_path):
+        errors = json.load(open(errs_path))
+
+    con = duckdb.connect()
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        t = os.path.splitext(os.path.basename(p))[0]
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            if os.path.isdir(p)
+            else f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+        )
+
+    ok = True
+    n_checked = 0
+    for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
+        if name in errors:
+            ok = fail(f"{name}: spark-side error: {errors[name]}")
+            continue
+        dump = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not dump:
+            ok = fail(f"{name}: no parquet dump found")
+            continue
+        spark_tbl = pq.read_table(dump)
+        ora = con.execute(oracle[name]).fetch_arrow_table()
+        s_cols, o_cols = sorted(spark_tbl.column_names), sorted(ora.column_names)
+        if s_cols != o_cols:
+            ok = fail(f"{name}: schema mismatch spark={s_cols} oracle={o_cols}")
+            continue
+        if spark_tbl.num_rows != ora.num_rows:
+            ok = fail(
+                f"{name}: row mismatch spark={spark_tbl.num_rows} oracle={ora.num_rows}"
+            )
+            continue
+        s_rows = spark_tbl.select(s_cols).to_pylist()
+        o_rows = ora.select(o_cols).to_pylist()
+        bad = None
+        for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+            for c in s_cols:
+                if not cells_equal(sr[c], orow[c]):
+                    bad = (i, c, sr[c], orow[c])
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, sv, ov = bad
+            ok = fail(f"{name}: value mismatch row {i} col {c}: spark={sv!r} oracle={ov!r}")
+            continue
+        n_checked += 1
+        print(f"PASS {name}: rows={spark_tbl.num_rows} hash_match=True")
+
+    print(f"{'OK' if ok else 'FAILED'}: {n_checked} queries value-matched")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

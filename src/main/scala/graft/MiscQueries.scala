@@ -672,17 +672,23 @@ object MiscQueries {
         // Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction.
         val parsed = Sources.csvPermissive(s, tmp, schema)
         // DROPMALFORMED must agree with the clean-row count: the two
-        // tolerant modes are consistent views of the same dirt. Bounded
-        // scalar (one count over a dimension-sized file).
-        val nDropped = Sources.csvDropMalformed(s, tmp, schema)
-          .agg(count(col("n_regionkey"))).head().getLong(0)
+        // tolerant modes are consistent views of the same dirt. The
+        // DROPMALFORMED count stays IN the plan — a 1-row aggregate
+        // crossJoined (broadcast) with the PERMISSIVE counts — so
+        // building the query runs no driver action and Bench/Explain
+        // never trigger a side job. (n_regionkey is referenced in the
+        // aggregate, so the pruning trap above cannot zero the drop.)
+        val dropped = Sources.csvDropMalformed(s, tmp, schema)
+          .agg(count(col("n_regionkey")).as("__n_drop"))
         parsed.agg(
             count(lit(1)).as("n_total"),
             count(when(col("_corrupt_record").isNull,
               col("n_nationkey"))).as("n_clean"),
             count(col("_corrupt_record")).as("n_corrupt"),
             count(col("n_regionkey")).as("n_region_parsed"))
-          .withColumn("drop_parity", lit(nDropped) === col("n_clean"))
+          .crossJoin(dropped)
+          .withColumn("drop_parity", col("__n_drop") === col("n_clean"))
+          .drop("__n_drop")
       },
       // the oracle knows which rows were corrupted (the planted n%5 rule)
       // and that DROPMALFORMED parity must hold

@@ -34,7 +34,8 @@ class PlanLintSpec extends AnyFunSuite {
     "q51_regression_metrics",     // 1-row metric aggs
     "q52_classification_metrics", // 1-row metric aggs
     "q34_knn_bruteforce",         // bounded (20-vector) query side
-    "q77_quantized_recall")       // bounded query side, exact + quantized
+    "q77_quantized_recall",       // bounded query side, exact + quantized
+    "q86_csv_permissive")         // two 1-row count aggs crossJoined
 
   /** Scan-quality gate for the queries whose whole point is what reaches
     * the parquet scan: filters must push down (`PushedFilters`), unused
@@ -92,18 +93,45 @@ class PlanLintSpec extends AnyFunSuite {
     assertSome(q70, "PushedFilters", "q70", "l_shipdate")
   }
 
-  test("no CartesianProduct anywhere; BNLJ only with bounded broadcast sides") {
+  test("no CartesianProduct anywhere; BNLJ only with bounded broadcast " +
+      "sides; no empty-partition window anywhere") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
     QueryRegistry.all.filterNot(_.name.startsWith("qml")).foreach { q =>
-      val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
+      val exec = q.fn(spark, Sf).queryExecution.executedPlan
+      val plan = exec.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"${q.name}: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") &&
           !BoundedBroadcastOk(q.name))
         offenders += s"${q.name}: BroadcastNestedLoopJoin outside the " +
           "bounded-broadcast whitelist"
+      // the single-task-window gate: a Window with no partition spec
+      // funnels the entire input through ONE task — no query may plan
+      // one, with NO whitelist (zipWithRank exists precisely so ranked
+      // dictionaries never need a global window)
+      val gw = PlanLint.emptyPartitionWindows(exec)
+      if (gw.nonEmpty)
+        offenders += s"${q.name}: empty-partition window ${gw.mkString(", ")}"
     }
     assert(offenders.isEmpty,
       s"plan-quality regressions:\n${offenders.mkString("\n")}")
+  }
+
+  test("empty-partition window detector flags a planted Window.orderBy") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val planted = spark.range(10)
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    val hits = PlanLint.emptyPartitionWindows(
+      planted.queryExecution.executedPlan)
+    assert(hits.nonEmpty,
+      "detector missed a deliberately planted no-partition window")
+    // and a partitioned window must NOT trip it
+    val fine = spark.range(10)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(expr("id % 2")).orderBy("id")))
+    assert(PlanLint.emptyPartitionWindows(
+      fine.queryExecution.executedPlan).isEmpty,
+      "detector false-positived on a partitioned window")
   }
 }
