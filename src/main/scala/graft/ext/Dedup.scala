@@ -230,42 +230,80 @@ object Dedup {
     * (a,b),(b,c) must collapse into one cluster {a,b,c} with a single
     * canonical survivor, or the "dedup" keeps transitive duplicates.
     *
-    * Iterative min-label propagation: every node starts labeled with its
-    * own id; each round takes the min of its neighbors' labels; fixpoint
-    * = components labeled by their min member. Each round is one
-    * shuffle-join + one aggregation. Lineage is truncated per round by
-    * rebuilding the label frame from an explicitly persisted row RDD
-    * (`LogicalRDD` boundary) — without truncation the plan tree doubles
-    * every iteration and Catalyst re-derives the whole chain (the
-    * classic iterative-algorithm trap). Owning the RDD handle (instead
-    * of `localCheckpoint`, whose storage is only freed when the GC
-    * collects the RDD) lets each round unpersist the previous round's
-    * blocks eagerly, so at most two label tables are ever materialized;
-    * the RETURNED frame stays persisted for the caller. At cluster
-    * scale use reliable `checkpoint` to also survive executor loss.
-    * Converges in O(diameter) rounds — near-duplicate clusters are
-    * star/clique shaped (diameter ≤ ~3), so 3–4 rounds in practice; for
-    * adversarial long-path graphs use the large-star/small-star variant
-    * (O(log n) rounds).
+    * Two algorithms behind the `algorithm` flag:
     *
-    * Returns (id, label) for every node that appears in an edge. */
+    *  - `"minlabel"` (default) — iterative min-label propagation,
+    *    O(diameter) rounds at one action per round. Near-duplicate
+    *    graphs are star/clique shaped (diameter ≤ ~3), so 3–4 rounds in
+    *    practice; the right default for dedup.
+    *  - `"star"` — alternating large-star/small-star contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond"), O(log n) rounds on ANY graph shape — the fallback for
+    *    adversarial long-path graphs, where min-label needs O(n) rounds
+    *    (a 100-node path: 99 rounds vs ~6). Costs more per round (two
+    *    star transforms + an exact edge-set convergence probe), so it
+    *    only wins when the diameter is large.
+    *
+    * Both truncate lineage per round by rebuilding the frame from an
+    * explicitly persisted row RDD (`LogicalRDD` boundary) — without
+    * truncation the plan tree doubles every iteration and Catalyst
+    * re-derives the whole chain (the classic iterative-algorithm trap).
+    * Owning the RDD handle (instead of `localCheckpoint`, whose storage
+    * is only freed when the GC collects the RDD) lets each round
+    * unpersist the previous round's blocks eagerly, so at most two
+    * round tables are ever materialized; the RETURNED frame stays
+    * persisted for the caller.
+    *
+    * `checkpointDir`: when set, every per-round RDD is ALSO reliably
+    * checkpointed there (`RDD.checkpoint`), so at cluster scale the
+    * iteration survives executor loss — a lost cache block under plain
+    * persist would otherwise force recomputing the round's lineage from
+    * its (already-unpersisted) parent. The default (None, in-memory
+    * persist only) is right for the local sandbox; checkpoint files
+    * accumulate under the dir until it is deleted by the caller.
+    *
+    * Returns (id, label) for every node that appears in an edge, label
+    * = min id of the component; a silent non-converged return would
+    * hand back WRONG labels, so non-convergence throws. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          checkpointDir: Option[String] = None,
+                          algorithm: String = "minlabel"): DataFrame =
+    algorithm match {
+      case "minlabel" => ccMinLabel(edges, a, b, maxIter, checkpointDir)
+      case "star"     => ccLargeSmallStar(edges, a, b, maxIter, checkpointDir)
+      case other => throw new IllegalArgumentException(
+        s"connectedComponents: unknown algorithm '$other' " +
+          "(expected 'minlabel' or 'star')")
+    }
+
+  /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s
+    * rows and rebuild the frame from the anchored RDD — the per-round
+    * lineage-truncation boundary both CC algorithms iterate on. The
+    * count materializes the blocks AND triggers the checkpoint write;
+    * the caller owns the returned RDD handle for eager unpersist. */
+  private def anchorRound(df: DataFrame, checkpoint: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+    val r = df.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (checkpoint) r.checkpoint()
+    val n = r.count()
+    (df.sparkSession.createDataFrame(r, df.schema), r, n)
+  }
+
+  private def ccMinLabel(edges: DataFrame, a: String, b: String,
+                         maxIter: Int,
+                         checkpointDir: Option[String]): DataFrame = {
     val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val useCp = checkpointDir.isDefined
     val sym = RelationalOps.materialized(
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
-    // persist + rebuild from the RDD: truncates lineage like
-    // localCheckpoint but keeps the storage handle so it can be freed
-    def truncate(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val r = df.rdd.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(r, df.schema), r)
-    }
-    var (labels, labelsRdd) = truncate(
+    var (labels, labelsRdd, _) = anchorRound(
       sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+        .withColumn("label", col("id")), useCp)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -290,6 +328,7 @@ object Dedup {
         if (row.getBoolean(2)) acc.add(1L)
         org.apache.spark.sql.Row(row.get(0), row.get(1))
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (useCp) nextRdd.checkpoint()
       nextRdd.count()
       converged = acc.value == 0L
       labelsRdd.unpersist(blocking = false)
@@ -298,13 +337,92 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    // a silent non-converged return would hand back WRONG cluster labels
-    // (some nodes still carrying a non-minimal component id) — fail loudly
-    // instead; real dup graphs converge in a handful of rounds, so hitting
-    // this means the graph has a pathological long path (raise maxIter or
-    // switch to the large-star/small-star O(log n) variant)
+    // real dup graphs converge in a handful of rounds, so hitting this
+    // means the graph has a pathological long path (raise maxIter or
+    // switch to algorithm = "star")
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Large-star/small-star contraction. Each round:
+    *
+    *  - LARGE-STAR: every node u attaches each strictly LARGER neighbor
+    *    to m(u) = min(Γ(u) ∪ {u}) — long tails fold onto local minima;
+    *  - SMALL-STAR: every node u re-attaches its smaller-or-equal
+    *    neighborhood (and itself) to that minimum — partial stars merge.
+    *
+    * Both transforms preserve connectivity and only ever point nodes at
+    * SMALLER ids, and the edge set is a fixpoint exactly when every
+    * component is a star rooted at its minimum — so convergence is
+    * detected by an EXACT set-equality probe on the canonicalized edge
+    * set (count + empty `exceptAll`), never a sampled or hashed one.
+    * O(log n) rounds on any graph (Kiveris et al.); ~3 shuffles + 2
+    * actions per round vs min-label's 2 + 1, which is why it is the
+    * flagged fallback rather than the default. */
+  private def ccLargeSmallStar(edges: DataFrame, a: String, b: String,
+                               maxIter: Int,
+                               checkpointDir: Option[String]): DataFrame = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val useCp = checkpointDir.isDefined
+    // every node that appears in any edge must come out labeled, and the
+    // contraction ends with only (child, root) edges — remember the node
+    // set up front (self-loop-only nodes would otherwise vanish with
+    // their dropped loops)
+    val (nodes, nodesRdd, _) = anchorRound(
+      edges.select(col(a).as("id")).union(edges.select(col(b).as("id")))
+        .distinct(), useCp)
+    // canonical form throughout: u > v, no self-loops, distinct
+    var (e, eRdd, eCnt) = anchorRound(
+      edges.select(col(a).as("x"), col(b).as("y"))
+        .filter(col("x") =!= col("y"))
+        .select(greatest(col("x"), col("y")).as("u"),
+          least(col("x"), col("y")).as("v"))
+        .distinct(), useCp)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetric neighborhood
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("lu"), col("m").as("lv"))
+        .filter(col("lu") =!= col("lv"))
+        .distinct()
+      // small-star: `large` is already (bigger, smaller)-directed, so
+      // Γ≤(u) is exactly its v-side; m = min(Γ≤ ∪ {u}) = min(v)
+      val mS = large.groupBy("lu").agg(min(col("lv")).as("m"))
+      val small = large.join(mS, "lu")
+        .filter(col("lv") =!= col("m"))
+        .select(col("lv").as("s"), col("m"))
+        .union(mS.select(col("lu").as("s"), col("m")))
+        .select(greatest(col("s"), col("m")).as("u"),
+          least(col("s"), col("m")).as("v"))
+        .distinct()
+      val (next, nextRdd, nextCnt) = anchorRound(small, useCp)
+      // exact fixpoint probe on two anchored canonical sets — both are
+      // cached, so this is a cache-to-cache anti join, not a recompute
+      converged = nextCnt == eCnt && next.exceptAll(e).isEmpty
+      eRdd.unpersist(blocking = false)
+      e = next; eRdd = nextRdd; eCnt = nextCnt
+      iter += 1
+    }
+    if (!converged) {
+      eRdd.unpersist(blocking = false)
+      nodesRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents(star) did not converge in $maxIter rounds")
+    }
+    // fixpoint edges are (child, root) stars; roots label themselves
+    val labels = RelationalOps.materialized(
+      nodes.join(e.select(col("u").as("id"), col("v").as("__root")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__root"), col("id")).as("label")))
+    eRdd.unpersist(blocking = false)
+    nodesRdd.unpersist(blocking = false)
     labels
   }
 }

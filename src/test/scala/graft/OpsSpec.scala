@@ -331,6 +331,52 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 6 && out.forall(_._2 == 1L))
   }
 
+  test("star CC converges on a long path where min-label provably cannot") {
+    // 100-node path 0-1-2-...-99: the min label walks ONE hop per round,
+    // so min-label needs 99 rounds — capped at 15 it must fail loudly.
+    // Large-star/small-star halves long tails every round (O(log n)):
+    // the same 15-round budget is plenty, and every node must land on
+    // label 0.
+    val path = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.ext.Dedup.connectedComponents(path, "a", "b", maxIter = 15)
+        .count()
+    }
+    val star = graft.ext.Dedup
+      .connectedComponents(path, "a", "b", maxIter = 15, algorithm = "star")
+      .as[(Long, Long)].collect()
+    assert(star.length == 100 && star.forall(_._2 == 0L),
+      s"expected 100 nodes all labeled 0, got ${star.take(5).mkString(",")}")
+    // unknown algorithm name must be rejected, not silently defaulted
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.connectedComponents(path, "a", "b",
+        algorithm = "labelprop")
+    }
+  }
+
+  test("CC with a reliable checkpoint dir: labels identical, files written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val plain = graft.ext.Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    def filesUnder(d: java.io.File): Int = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.count(_.isFile) + kids.filter(_.isDirectory).map(filesUnder).sum
+    }
+    for (algo <- Seq("minlabel", "star")) {
+      val before = filesUnder(new java.io.File(dir))
+      val cp = graft.ext.Dedup.connectedComponents(edges, "a", "b",
+          checkpointDir = Some(dir), algorithm = algo)
+        .as[(Long, Long)].collect().toMap
+      assert(cp == plain, s"$algo: checkpointed labels differ")
+      // the per-round RDDs really were checkpointed (executor-loss
+      // survival path), not just persisted
+      assert(filesUnder(new java.io.File(dir)) > before,
+        s"$algo: no checkpoint files written under $dir")
+    }
+  }
+
   test("asOfJoin hot-key split equals the single-window plan and buckets the window") {
     // key 1 holds 90% of rows — the scenario where the plain as-of join
     // funnels everything through one window task
