@@ -16,6 +16,15 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       |       FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)),""".stripMargin
 
+  /** The minhash parameters as a VALUES list, generated from the SAME
+    * `Dedup.hashParams` the Spark path uses — one source of truth, so an
+    * engine/oracle drift in the hash family is structurally impossible. */
+  private def hashParamValues(numHashes: Int): String =
+    (0 until numHashes).map { i =>
+      val (a, b) = Dedup.hashParams(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
+
   val all: Seq[GQuery] = Seq(
 
     // ---- exact dedup by content hash ------------------------------------
@@ -149,10 +158,8 @@ object DedupQueries {
               |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
               |         FROM (SELECT DISTINCT shingle FROM sh)),
               |shids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
-              |hp AS (SELECT i,
-              |         CAST((i+1) * 387420489 % 2147483647 AS BIGINT) AS a,
-              |         CAST(((i+1) * 1299709 + 104729) % 2147483647 AS BIGINT) AS b
-              |       FROM range(0, 16) t(i)),
+              |hp AS (SELECT i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+              |       FROM (VALUES ${hashParamValues(16)}) t(i, a, b)),
               |sig AS (SELECT doc_id, i, min((a * sid + b) % 2147483647) AS mh
               |        FROM shids, hp GROUP BY 1, 2),
               |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
@@ -165,7 +172,7 @@ object DedupQueries {
               |FROM b2 a JOIN b2 b ON a.band = b.band AND a.bucket = b.bucket
               |  AND a.doc_id < b.doc_id
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "MinHash(16)×4-band LSH; dictionary sids for oracle parity, xxhash64 in production"),
+      doc = "MinHash(16)×4-band LSH; dictionary sids for oracle parity, xxhash64 in production; splitmix64-mixed hash params shared verbatim with the oracle (Dedup.hashParams)"),
 
     // ---- MinHash production path: xxhash64 shingle ids, no dictionary ---
     GQuery("q87_minhash_production",
@@ -177,16 +184,21 @@ object DedupQueries {
         // xxhash64, so the oracle checks the CLAIM instead of the hash
         // values: every true near-dup pair (Jaccard >= 0.9 — the
         // fixture's planted pairs sit at ~0.9-0.99) must appear among
-        // the production path's candidates. 16 hashes × 4-row bands
-        // catch an s=0.9 pair with p ≈ 0.986 per banding theory; the
-        // check is exact-deterministic per dataset (no RNG anywhere).
+        // the production path's candidates. Operating point: 24 hashes
+        // × 3-row bands (8 bands) — miss probability at s = 0.9 is
+        // (1−0.9³)⁸ ≈ 2.9e-5 per pair, so the expected miss count stays
+        // ≪ 1 even at sf1's thousands of truth pairs and the all-caught
+        // oracle row set is deterministic-in-practice. (16×4 banding —
+        // q32's value-parity config — catches s=0.9 at only p ≈ 0.986
+        // per pair: certain to miss ONE of sf0.1's ~250 pairs. The
+        // recall check is exact per dataset — no RNG anywhere.)
         val docs = Tables.documents(s, d)
         val prod = Dedup.minhashCandidates(
           Dedup.minhashBuckets(
             Dedup.shingleIds(
               Dedup.shingles(docs, "doc_id", "text", 3),
               useDictionaryIds = false),
-            "doc_id", numHashes = 16, rowsPerBand = 4),
+            "doc_id", numHashes = 24, rowsPerBand = 3),
           "doc_id")
         val truth = Dedup
           .jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
@@ -218,7 +230,7 @@ object DedupQueries {
               |JOIN sizes nb ON id_b = nb.doc_id
               |WHERE c*1.0/(na.n + nb.n - c) >= 0.9
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "the PRODUCTION minhash path end-to-end (xxhash64 shingle ids — no dictionary, no global sort): oracle-checked claim that every true Jaccard>=0.9 pair is among its LSH candidates; q32 keeps the dictionary path for value-level oracle parity"),
+      doc = "the PRODUCTION minhash path end-to-end (xxhash64 shingle ids — no dictionary, no global sort): oracle-checked claim that every true Jaccard>=0.9 pair is among its 24-hash×3-row-band LSH candidates (miss ≈ 2.9e-5/pair at s=0.9 — holds through sf1); q32 keeps the dictionary path for value-level oracle parity"),
 
     // ---- SimHash near-dup pairs -----------------------------------------
     GQuery("q33_dedup_simhash",

@@ -103,10 +103,40 @@ object Dedup {
       sh.join(dict, Seq("shingle"))
     } else sh.withColumn("sid", xxhash64(col("shingle")))
 
+  /** splitmix64 finalizer — the standard 64-bit avalanche mixer. Used to
+    * derive minhash parameters that are actually independent across i. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Parameters of the i-th minhash h_i(x) = (a_i·x + b_i) mod p:
+    * a_i ∈ [1, p−1], b_i ∈ [0, p−1], both splitmix64-mixed from i — a
+    * fixed pure function of i (no RNG state → reproducible everywhere,
+    * and the DuckDB oracles embed the same values as literals).
+    *
+    * Why mixed and not a linear ramp: the original family used
+    * a_i = (i+1)·c, b_i = (i+1)·d + e, which factors as
+    * h_i(x) = (i+1)·g(x) + e mod p with g(x) = c·x + d. Any shingle
+    * whose g(x) lands below p/numHashes then minimizes EVERY h_i
+    * simultaneously (no mod wraparound to break the order), and a doc
+    * with ≥ numHashes shingles almost surely has one — so the whole
+    * signature collapsed to effectively ONE independent hash. Recall
+    * then depended on whether the few differing shingles of a near-dup
+    * pair contained the g-minimizer: sf0.1 surfaced Jaccard-0.98 pairs
+    * missed across ALL bands (theoretical miss odds ~1e-5 per pair).
+    * Mixed parameters restore pairwise-independence and the banding
+    * math the candidate-recall claims are computed from. */
+  def hashParams(i: Int): (Long, Long) = (
+    Math.floorMod(mix64(2L * i), MinhashPrime - 1) + 1L,
+    Math.floorMod(mix64(2L * i + 1), MinhashPrime))
+
   /** MinHash signatures with `numHashes` affine hashes
     * h_i(x) = (a_i·x + b_i) mod p, banded `numHashes/rowsPerBand` ways.
-    * a_i/b_i derive from i by a fixed formula (no RNG → reproducible and
-    * oracle-replicable).
+    * a_i/b_i derive from i by a fixed mixing formula ([[hashParams]] —
+    * no RNG → reproducible and oracle-replicable).
     *
     * Plan shape: the hash parameters are compile-time constants, so all
     * `numHashes` minima are computed as columns of ONE hash aggregation —
@@ -122,8 +152,7 @@ object Dedup {
       s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
         s"($rowsPerBand) — a partial band would silently drop hashes")
     val mins = (0 until numHashes).map { i =>
-      val a = (i + 1) * 387420489L % MinhashPrime
-      val b = ((i + 1) * 1299709L + 104729L) % MinhashPrime
+      val (a, b) = hashParams(i)
       // reduce sid into [0, p) FIRST: xxhash64 ids (production path) span
       // the full signed-64 range and sid·a would overflow long (ANSI mode
       // throws). For dictionary ids (< p always) pmod is the identity, so
