@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Per-round sf0.1 correctness promotion (BASELINE.md "sf0.1 correctness
+# promotion"): value-checks the scale-sensitive dedup/window family at
+# 10x the driver's oracle scale, catching cap/threshold artifacts the
+# sf0.01 gate cannot see (this run caught the rank-1 minhash family in
+# round 7). Run from the repo root; exits non-zero on any mismatch.
+set -euo pipefail
+
+SF_DIR="${1:-/root/testdata/sf0.1}"
+OUT_DIR="${2:-target/verify_sf01_promotion}"
+QUERIES="q31_dedup_jaccard,q32_dedup_minhash,q65_asof_join,q71_dedup_clusters,q87_minhash_production"
+
+SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$QUERIES" \
+  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+python3 scripts/verify_local.py "$SF_DIR" "$OUT_DIR" "$QUERIES"

@@ -308,16 +308,18 @@ object Dedup {
 
   /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s
     * rows and rebuild the frame from the anchored RDD — the per-round
-    * lineage-truncation boundary both CC algorithms iterate on. The
-    * count materializes the blocks AND triggers the checkpoint write;
-    * the caller owns the returned RDD handle for eager unpersist. */
+    * lineage-truncation boundary both CC algorithms iterate on. LAZY:
+    * the caller decides which action materializes the blocks (min-label
+    * folds it into the round's own count so each round stays ONE job;
+    * the star variant counts explicitly because it needs the size for
+    * its fixpoint probe). The caller owns the returned RDD handle for
+    * eager unpersist. */
   private def anchorRound(df: DataFrame, checkpoint: Boolean)
-      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val r = df.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (checkpoint) r.checkpoint()
-    val n = r.count()
-    (df.sparkSession.createDataFrame(r, df.schema), r, n)
+    (df.sparkSession.createDataFrame(r, df.schema), r)
   }
 
   private def ccMinLabel(edges: DataFrame, a: String, b: String,
@@ -330,7 +332,7 @@ object Dedup {
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
         .distinct())
-    var (labels, labelsRdd, _) = anchorRound(
+    var (labels, labelsRdd) = anchorRound(
       sym.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")), useCp)
     var iter = 0
@@ -399,16 +401,17 @@ object Dedup {
     // contraction ends with only (child, root) edges — remember the node
     // set up front (self-loop-only nodes would otherwise vanish with
     // their dropped loops)
-    val (nodes, nodesRdd, _) = anchorRound(
+    val (nodes, nodesRdd) = anchorRound(
       edges.select(col(a).as("id")).union(edges.select(col(b).as("id")))
         .distinct(), useCp)
     // canonical form throughout: u > v, no self-loops, distinct
-    var (e, eRdd, eCnt) = anchorRound(
+    var (e, eRdd) = anchorRound(
       edges.select(col(a).as("x"), col(b).as("y"))
         .filter(col("x") =!= col("y"))
         .select(greatest(col("x"), col("y")).as("u"),
           least(col("x"), col("y")).as("v"))
         .distinct(), useCp)
+    var eCnt = eRdd.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -431,7 +434,8 @@ object Dedup {
         .select(greatest(col("s"), col("m")).as("u"),
           least(col("s"), col("m")).as("v"))
         .distinct()
-      val (next, nextRdd, nextCnt) = anchorRound(small, useCp)
+      val (next, nextRdd) = anchorRound(small, useCp)
+      val nextCnt = nextRdd.count()
       // exact fixpoint probe on two anchored canonical sets — both are
       // cached, so this is a cache-to-cache anti join, not a recompute
       converged = nextCnt == eCnt && next.exceptAll(e).isEmpty
