@@ -90,6 +90,48 @@ object SimilarityQueries {
              |FROM embeddings WHERE vec_id < 20""".stripMargin),
       doc = "top-1 recall of int8-quantized search vs exact float search (≥90% agreement claim): closes the quantization loop — q76 proves the storage error bound, this proves the SEARCH survives it"),
 
+    // ---- IVF search quality ----------------------------------------------
+    GQuery("q88_ivf_recall",
+      (s, d) => {
+        // closes the ANN quality loop the way q77 does for quantization:
+        // the IVF path (seeded KMeans coarse quantizer — rows-only as
+        // qml56, KMeans isn't SQL-expressible) is here MEASURED against
+        // the brute-force baseline and the recall@5 claim oracle-checked.
+        // Operating point 8-of-16 probed cells = ~50% of the corpus
+        // scanned per query for measured mean recall 0.94 (sf0.01) /
+        // 0.86 (sf0.1); the claim bound is 0.75 — real headroom under
+        // the measured values, deterministic per dataset via the fixed
+        // KMeans seed. (qml56's aggressive 4-of-16 probe measures
+        // 0.69/0.71 — the accuracy/cost dial made visible; the fixture's
+        // label clusters are noisy enough that recall, not speed, is
+        // what bounds the probe count here.)
+        val emb = graft.ops.RelationalOps.materialized(
+          Tables.embeddings(s, d).select("vec_id", "embedding"))
+        val exact = Similarity
+          .cosineTopK(emb.filter(col("vec_id") < 20), emb, "vec_id",
+            "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = Similarity
+          .ivfTopK(emb, "vec_id", "embedding",
+            queryPred = col("vec_id") < 20, nLists = 16, nProbe = 8, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val out = graft.ops.RelationalOps.materialized(
+          exact.join(ivf.withColumn("__hit", lit(1L)),
+              Seq("query_id", "neighbor_id"), "left")
+            .groupBy("query_id")
+            .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+              count(lit(1))).as("recall"))
+            .agg(count(lit(1)).as("n_queries"),
+              avg(col("recall")).as("mean_recall"))
+            .select(col("n_queries"),
+              (col("mean_recall") >= 0.75).as("recall_ok")))
+        emb.unpersist()
+        out
+      },
+      Some("""SELECT count(*) AS n_queries, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id < 20""".stripMargin),
+      doc = "recall@5 of the IVF ANN path (seeded KMeans, 8-of-16 probed cells) vs the exact baseline: measured 0.94/0.86 at sf0.01/sf0.1, ≥0.75 claim oracle-checked — upgrades IVF from rows-only to a measured-quality component"),
+
     // ---- per-class embedding centroids (vector-native aggregation) -------
     GQuery("q81_embedding_centroids",
       (s, d) => {
