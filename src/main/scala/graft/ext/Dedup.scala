@@ -204,18 +204,24 @@ object Dedup {
 
   /** 16-bit SimHash from per-doc distinct token ids: bit b of token t is
     * bit b of (t·2654435761); the signature bit is the sign of the summed
-    * ±1 votes. Everything is integer arithmetic → engine-agnostic. */
+    * ±1 votes. Everything is integer arithmetic → engine-agnostic.
+    *
+    * Plan shape: like [[minhashBuckets]], all `bits` vote sums are
+    * columns of ONE hash aggregation — a single map-side-combined
+    * shuffle of |tokIds| rows. (The explode-a-bit-index-table
+    * formulation shuffles bits× the rows through TWO aggregations; at
+    * 16 bits that is a 16× shuffle multiplier for identical output.)
+    * The signature is then assembled row-locally from the vote signs. */
   def simhash(tokIds: DataFrame, idCol: String, bits: Int = 16): DataFrame = {
-    val votes = tokIds
-      .crossJoin(broadcast(tokIds.sparkSession.range(bits)
-        .select(col("id").cast("int").as("b"))))
-      .withColumn("vote",
-        when(expr("((sid * 2654435761) >> b) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("v"))
-    votes.withColumn("bit", when(col("v") > 0, 1L).otherwise(0L))
-      .groupBy(col(idCol))
-      .agg(sum(expr("bit << b")).as("simhash"))
+    val votes = (0 until bits).map { b =>
+      sum(when(expr(s"((sid * 2654435761) >> $b) & 1") === 1, 1)
+        .otherwise(-1)).as(s"__v_$b")
+    }
+    tokIds.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(b =>
+            when(col(s"__v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Pairs within `maxHamming` of each other, via exact pigeonhole

@@ -28,7 +28,6 @@ class PlanLintSpec extends AnyFunSuite {
     "q22_fill_const_mode",        // 1-row mode agg
     "q26_iqr_outliers",           // 1-row fence agg
     "q57_clean_pipeline",         // composes the fence/mean/mode aggs above
-    "q33_dedup_simhash",          // 16-row constant bit-index range table
     "q48_tfidf",                  // 1-row corpus doc-count agg
     "q66_approx_agg",             // two 1-row agg frames crossJoined
     "q51_regression_metrics",     // 1-row metric aggs
