@@ -110,8 +110,13 @@ object Bench {
     // the one-line JSON has twice been clipped mid-object (BENCH_r04/r05,
     // losing ~half the per-query timings). The file is the durable copy.
     try {
+      // subset runs (SPARK_GRAFT_ONLY) default to a different file so an
+      // ad-hoc probe never clobbers the round's full-map artifact
+      val defaultOut =
+        if (only.isDefined) "target/bench_subset.json"
+        else "target/bench_out.json"
       val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(outPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
