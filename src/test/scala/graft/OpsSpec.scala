@@ -331,6 +331,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out.length == 6 && out.forall(_._2 == 1L))
   }
 
+  test("minhash params: no shared minimizer across hash functions (rank-1 guard)") {
+    // The defect class the sf0.1 promotion caught in round 7: with
+    // a_i = (i+1)·c the whole family factored through one base hash, so
+    // ONE shingle minimized every h_i simultaneously and the signature
+    // carried ~1 effective hash. Guard: over a fixed 200-element id set,
+    // the per-function argmins must be genuinely diverse — a rank-1
+    // family yields exactly 1 distinct argmin; an independent family
+    // yields ~min(numHashes, distinct-minima) of them.
+    val p = graft.ext.Dedup.MinhashPrime
+    val ids = (1L to 200L).map(x => x * 982451653L % p) // spread sample
+    val numHashes = 24
+    val argmins = (0 until numHashes).map { i =>
+      val (a, b) = graft.ext.Dedup.hashParams(i)
+      ids.minBy(x => (Math.floorMod(x, p) * a + b) % p)
+    }
+    assert(argmins.distinct.size >= numHashes / 2,
+      s"only ${argmins.distinct.size} distinct argmins across $numHashes " +
+        "hash functions — the family is collapsing toward rank-1 again")
+    // and the parameters themselves are in range and collision-free
+    val params = (0 until 64).map(graft.ext.Dedup.hashParams)
+    assert(params.forall { case (a, b) =>
+      a >= 1 && a < p && b >= 0 && b < p })
+    assert(params.map(_._1).distinct.size == 64 &&
+      params.map(_._2).distinct.size == 64)
+  }
+
   test("star CC converges on a long path where min-label provably cannot") {
     // 100-node path 0-1-2-...-99: the min label walks ONE hop per round,
     // so min-label needs 99 rounds — capped at 15 it must fail loudly.
