@@ -192,13 +192,13 @@ object DedupQueries {
         // q32's value-parity config — catches s=0.9 at only p ≈ 0.986
         // per pair: certain to miss ONE of sf0.1's ~250 pairs. The
         // recall check is exact per dataset — no RNG anywhere.)
+        // row-local banding: the signature stage is pure map-side HOFs
+        // (no shuffle until the candidate groupBy) — proven equal to the
+        // explode→aggregate composition in OpsSpec
         val docs = Tables.documents(s, d)
         val prod = Dedup.minhashCandidates(
-          Dedup.minhashBuckets(
-            Dedup.shingleIds(
-              Dedup.shingles(docs, "doc_id", "text", 3),
-              useDictionaryIds = false),
-            "doc_id", numHashes = 24, rowsPerBand = 3),
+          Dedup.minhashBucketsRowLocal(docs, "doc_id", "text",
+            n = 3, numHashes = 24, rowsPerBand = 3),
           "doc_id")
         val truth = Dedup
           .jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),

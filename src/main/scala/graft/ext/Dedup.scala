@@ -161,6 +161,13 @@ object Dedup {
         .as(s"mh_$i")
     }
     val sig = shIds.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    cutBands(sig, idCol, numHashes, rowsPerBand)
+  }
+
+  /** Cut a signature frame (idCol, mh_0..mh_{numHashes−1}) into
+    * (id, band, bucket) rows — row-local. */
+  private def cutBands(sig: DataFrame, idCol: String, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
     val bands = (0 until numHashes / rowsPerBand).map { bnd =>
       struct(lit(bnd).as("band"),
         concat_ws("_", (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
@@ -168,6 +175,44 @@ object Dedup {
     }
     sig.select(col(idCol), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Production minhash banding computed ROW-LOCALLY: shingling, xxhash64
+    * shingle ids, all `numHashes` minima and the band cut are higher-order
+    * functions over the text column — NO shuffle at all until the
+    * consumer's band-bucket groupBy, vs the exploded path's signature
+    * aggregation shuffling |docs × shingles| rows. At corpus scale the
+    * signature stage therefore costs one map pass over the data.
+    *
+    * Exactly the [[shingles]] → [[shingleIds]](production) →
+    * [[minhashBuckets]] composition, row-fused: same shingle semantics
+    * (distinct word n-grams, sub-n stubs dropped, docs with no valid
+    * shingle emit no rows), same hash family ([[hashParams]]), same
+    * (id, band, bucket) output — equality is pinned by test. The
+    * dictionary path cannot fuse this way (its ids need a global sort),
+    * which is fine: it exists for oracle parity, not production. */
+  def minhashBucketsRowLocal(docs: DataFrame, idCol: String,
+                             textCol: String, n: Int, numHashes: Int,
+                             rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand) — a partial band would silently drop hashes")
+    val toks = split(col(textCol), " ")
+    val shingleArr = array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    val sids = transform(
+      filter(shingleArr, s => size(split(s, " ")) === n),
+      s => pmod(xxhash64(s), lit(MinhashPrime)))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = hashParams(i)
+      array_min(transform(col("__sids"), x => (x * a + b) % MinhashPrime))
+        .as(s"mh_$i")
+    }
+    val sig = docs.select(col(idCol), sids.as("__sids"))
+      .filter(size(col("__sids")) > 0)
+      .select(col(idCol) +: mins: _*)
+    cutBands(sig, idCol, numHashes, rowsPerBand)
   }
 
   /** LSH candidate pairs: docs sharing any (band, bucket). Buckets larger

@@ -357,6 +357,29 @@ class OpsSpec extends AnyFunSuite {
       params.map(_._2).distinct.size == 64)
   }
 
+  test("row-local minhash banding == exploded production path") {
+    // the row-fused production path must emit the EXACT (id, band,
+    // bucket) set the explode → xxhash64 → aggregate composition does —
+    // same shingles, same hash family, zero shuffle
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(100)
+    val exploded = graft.ext.Dedup.minhashBuckets(
+      graft.ext.Dedup.shingleIds(
+        graft.ext.Dedup.shingles(docs, "doc_id", "text", 3),
+        useDictionaryIds = false),
+      "doc_id", numHashes = 24, rowsPerBand = 3)
+    val rowLocal = graft.ext.Dedup.minhashBucketsRowLocal(
+      docs, "doc_id", "text", n = 3, numHashes = 24, rowsPerBand = 3)
+    assert(exploded.exceptAll(rowLocal).isEmpty &&
+      rowLocal.exceptAll(exploded).isEmpty,
+      "row-local and exploded production banding disagree")
+    // a doc too short for a single 3-gram emits no bucket rows (matches
+    // the exploded path, where it never reaches the aggregation)
+    val shorty = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.minhashBucketsRowLocal(
+      shorty, "doc_id", "text", 3, 8, 4).count() == 0)
+  }
+
   test("star CC converges on a long path where min-label provably cannot") {
     // 100-node path 0-1-2-...-99: the min label walks ONE hop per round,
     // so min-label needs 99 rounds — capped at 15 it must fail loudly.
