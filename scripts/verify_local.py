@@ -45,10 +45,38 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
+def row_key(row, cols):
+    # Deterministic full-row sort key, identical for equal values on both
+    # sides. Floats are formatted at 7 significant digits so values equal
+    # under the compare tolerance almost always share a key; order only
+    # needs to be CONSISTENT across the two lists, not numeric.
+    key = []
+    for c in cols:
+        v = row[c]
+        if v is None:
+            key.append((0, ""))
+        elif isinstance(v, bool):
+            key.append((1, str(v)))
+        elif isinstance(v, float):
+            key.append((2, "nan" if math.isnan(v) else "%.6e" % v))
+        elif isinstance(v, int):
+            key.append((2, "%.6e" % float(v)))
+        elif isinstance(v, bytes):
+            key.append((3, v.hex()))
+        else:
+            key.append((4, str(v)))
+    return tuple(key)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only is not None:
+        unknown = sorted(only - set(oracle))
+        if unknown:
+            print(f"FAIL unknown query names in filter (not in oracle_sql.json): {unknown}")
+            sys.exit(1)
     errors = {}
     errs_path = os.path.join(out_dir, "errors.json")
     if os.path.exists(errs_path):
@@ -86,8 +114,11 @@ def main():
                 f"{name}: row mismatch spark={spark_tbl.num_rows} oracle={ora.num_rows}"
             )
             continue
-        s_rows = spark_tbl.select(s_cols).to_pylist()
-        o_rows = ora.select(o_cols).to_pylist()
+        # Full-row sort on both sides: queries end with an ORDER BY, but
+        # ties on the ORDER BY keys may legitimately order differently in
+        # DuckDB vs Spark; the driver's hash compare is order-insensitive.
+        s_rows = sorted(spark_tbl.select(s_cols).to_pylist(), key=lambda r: row_key(r, s_cols))
+        o_rows = sorted(ora.select(o_cols).to_pylist(), key=lambda r: row_key(r, o_cols))
         bad = None
         for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
             for c in s_cols:
@@ -103,6 +134,10 @@ def main():
         n_checked += 1
         print(f"PASS {name}: rows={spark_tbl.num_rows} hash_match=True")
 
+    if only is not None and n_checked != len(only):
+        ok = fail(f"filter asked for {len(only)} queries but only {n_checked} were checked")
+    if n_checked == 0:
+        ok = fail("no queries were checked")
     print(f"{'OK' if ok else 'FAILED'}: {n_checked} queries value-matched")
     sys.exit(0 if ok else 1)
 

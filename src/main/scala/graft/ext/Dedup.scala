@@ -318,7 +318,9 @@ object Dedup {
     *    practice; the right default for dedup.
     *  - `"star"` — alternating large-star/small-star contraction
     *    (Kiveris et al., "Connected Components in MapReduce and
-    *    Beyond"), O(log n) rounds on ANY graph shape — the fallback for
+    *    Beyond"), O(log² n) worst-case rounds (O(log n) typical; the
+    *    O(log n) bound is for the two-phase variant) on ANY graph
+    *    shape — the fallback for
     *    adversarial long-path graphs, where min-label needs O(n) rounds
     *    (a 100-node path: 99 rounds vs ~6). Costs more per round (two
     *    star transforms + an exact edge-set convergence probe), so it
@@ -360,11 +362,11 @@ object Dedup {
   /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s
     * rows and rebuild the frame from the anchored RDD — the per-round
     * lineage-truncation boundary both CC algorithms iterate on. LAZY:
-    * the caller decides which action materializes the blocks (min-label
-    * folds it into the round's own count so each round stays ONE job;
-    * the star variant counts explicitly because it needs the size for
-    * its fixpoint probe). The caller owns the returned RDD handle for
-    * eager unpersist. */
+    * the caller decides which action materializes the blocks (both CC
+    * loops fold their convergence probe into the round's own
+    * materializing job, so each round stays ONE job; star uses this
+    * helper only for its pre-loop node/edge anchors). The caller owns
+    * the returned RDD handle for eager unpersist. */
   private def anchorRound(df: DataFrame, checkpoint: Boolean)
       : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val r = df.rdd.persist(
@@ -438,10 +440,16 @@ object Dedup {
     * SMALLER ids, and the edge set is a fixpoint exactly when every
     * component is a star rooted at its minimum — so convergence is
     * detected by an EXACT set-equality probe on the canonicalized edge
-    * set (count + empty `exceptAll`), never a sampled or hashed one.
-    * O(log n) rounds on any graph (Kiveris et al.); ~3 shuffles + 2
-    * actions per round vs min-label's 2 + 1, which is why it is the
-    * flagged fallback rather than the default. */
+    * set, never a sampled or hashed one: both sets are distinct, so
+    * `next == prev` ⟺ `|next| == |prev| ∧ next ⊆ prev`, and the subset
+    * half rides the round's own materializing job as a per-row
+    * "edge is new" flag tallied through an accumulator (the min-label
+    * pattern) — ONE action per round, no separate probe job.
+    * O(log² n) worst-case rounds for this alternating variant (Kiveris
+    * et al. prove O(log n) only for the two-phase variant; in practice
+    * O(log n)-ish on real graphs); ~4 shuffles + 1 action per round vs
+    * min-label's 2 + 1, which is why it is the flagged fallback rather
+    * than the default. */
   private def ccLargeSmallStar(edges: DataFrame, a: String, b: String,
                                maxIter: Int,
                                checkpointDir: Option[String]): DataFrame = {
@@ -485,13 +493,29 @@ object Dedup {
         .select(greatest(col("s"), col("m")).as("u"),
           least(col("s"), col("m")).as("v"))
         .distinct()
-      val (next, nextRdd) = anchorRound(small, useCp)
+      // ONE action per round (the min-label pattern): the next edge set
+      // is left-joined against the previous round's cached set, and the
+      // job that materializes this round's blocks tallies a per-row
+      // "edge is new" flag through an accumulator while its count
+      // doubles as the size probe. Both sets are distinct, so
+      // acc == 0 (next ⊆ prev) plus equal counts is EXACT set equality.
+      // A task retry can only over-count the accumulator, so a spurious
+      // non-zero costs at most one extra round; a zero is exact, so
+      // convergence is never declared early.
+      val flagged = small
+        .join(e.withColumn("__old", lit(true)), Seq("u", "v"), "left")
+        .select(col("u"), col("v"), col("__old").isNull.as("__new"))
+      val acc = spark.sparkContext.longAccumulator(s"cc_star_new_$iter")
+      val nextRdd = flagged.rdd.map { row =>
+        if (row.getBoolean(2)) acc.add(1L)
+        org.apache.spark.sql.Row(row.get(0), row.get(1))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (useCp) nextRdd.checkpoint()
       val nextCnt = nextRdd.count()
-      // exact fixpoint probe on two anchored canonical sets — both are
-      // cached, so this is a cache-to-cache anti join, not a recompute
-      converged = nextCnt == eCnt && next.exceptAll(e).isEmpty
+      converged = nextCnt == eCnt && acc.value == 0L
       eRdd.unpersist(blocking = false)
-      e = next; eRdd = nextRdd; eCnt = nextCnt
+      e = spark.createDataFrame(nextRdd, e.schema)
+      eRdd = nextRdd; eCnt = nextCnt
       iter += 1
     }
     if (!converged) {

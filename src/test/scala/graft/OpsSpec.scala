@@ -383,7 +383,7 @@ class OpsSpec extends AnyFunSuite {
   test("star CC converges on a long path where min-label provably cannot") {
     // 100-node path 0-1-2-...-99: the min label walks ONE hop per round,
     // so min-label needs 99 rounds — capped at 15 it must fail loudly.
-    // Large-star/small-star halves long tails every round (O(log n)):
+    // Large-star/small-star halves long tails every round (polylog rounds):
     // the same 15-round budget is plenty, and every node must land on
     // label 0.
     val path = (0L until 99L).map(i => (i, i + 1)).toDF("a", "b")
@@ -401,6 +401,44 @@ class OpsSpec extends AnyFunSuite {
       graft.ext.Dedup.connectedComponents(path, "a", "b",
         algorithm = "labelprop")
     }
+  }
+
+  test("star CC runs one job per round (folded fixpoint probe)") {
+    // mirror of the min-label job audit: each star round must cost
+    // exactly ONE job — the count that materializes the round's edge
+    // set while an accumulator tallies the "edge is new" flags (the old
+    // shape paid a second exceptAll probe whenever counts matched).
+    // Path 1-2-3-4-5-6 contracts in 4 rounds (two tail-folds, one
+    // star-completion, one quiet fixpoint round), so the inventory is:
+    // 1 initial canonical-edge anchor + 4 round jobs + 1 final label
+    // materialization (the node anchor rides it lazily) = 6 jobs.
+    // AQE/broadcast-build jobs would hide the claim — disable as above.
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val sc = spark.sparkContext
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("cc-star-jobs", "star CC job audit")
+    val labels = try graft.ext.Dedup.connectedComponents(
+        edges, "a", "b", algorithm = "star")
+      finally {
+        sc.clearJobGroup()
+        saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    def groupJobs: Int = sc.statusTracker.getJobIdsForGroup("cc-star-jobs").length
+    var (prev, cur, spins) = (-1, groupJobs, 0)
+    while (prev != cur && spins < 50) {
+      prev = cur; Thread.sleep(100); cur = groupJobs; spins += 1
+    }
+    assert(cur <= 7, s"expected ~6 jobs (1 edge anchor + 4 rounds + " +
+      s"1 label materialize), got $cur")
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 6 && out.forall(_._2 == 1L))
   }
 
   test("CC with a reliable checkpoint dir: labels identical, files written") {
