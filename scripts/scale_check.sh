@@ -8,7 +8,7 @@ set -euo pipefail
 
 SF_DIR="${1:-/root/testdata/sf0.1}"
 OUT_DIR="${2:-target/verify_sf01_promotion}"
-QUERIES="q31_dedup_jaccard,q32_dedup_minhash,q65_asof_join,q71_dedup_clusters,q87_minhash_production"
+QUERIES="q31_dedup_jaccard,q32_dedup_minhash,q33_dedup_simhash,q65_asof_join,q71_dedup_clusters,q72_dedup_compact,q87_minhash_production"
 
 SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$QUERIES" \
   sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"

@@ -61,7 +61,11 @@ object Bench {
     // min-of-2 — their relative noise is small and a third run would
     // add minutes of wall-clock for no signal. All raw runs are kept in
     // the JSON so the noise itself stays visible.
-    val Protocol = "min_of_2_median_of_3_sub5s"
+    // _split v2: the JSON additionally carries value_relational (q*) and
+    // value_mlfit (qml*) subtotals — the ML-fit queries swing 2-3× between
+    // runs on identical code, so round-over-round comparisons should track
+    // the relational subtotal and read the fit subtotal as its own series.
+    val Protocol = "min_of_2_median_of_3_sub5s_split"
     val results = selected.map { q =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -103,8 +107,11 @@ object Bench {
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
+    val mlfit = results.collect {
+      case (k, v, None, _) if k.startsWith("qml") => v }.sum
+    val relational = total - mlfit
     val nFailed = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$allRuns,"errors":$errs,"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","queries":$qs,"runs":$allRuns,"errors":$errs,"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir"}"""
     println(json)
     // ALSO write to a file: the driver captures only a tail of stdout, and
     // the one-line JSON has twice been clipped mid-object (BENCH_r04/r05,

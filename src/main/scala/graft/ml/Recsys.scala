@@ -52,6 +52,16 @@ object Recsys {
                  ratingCol: String, ranks: Seq[Int], regParams: Seq[Double],
                  maxIter: Int = 5, seed: Long = 1L): GridResult = {
     import org.apache.spark.ml.tuning.ParamGridBuilder
+    // ALS truncates its factor lineage every checkpointInterval (10)
+    // iterations ONLY when the context has a checkpoint dir; without one
+    // a deep fit (maxIter > ~10) at scale builds an object graph whose
+    // task deserialization overflows the executor thread stack
+    // (surfaced by the sf0.1 verbatim-grid run). Respect a caller-set
+    // dir; otherwise anchor a temp one so every grid path is safe.
+    val sc = ratings.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty && maxIter > 10)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_als_cp").toString)
     val persisted = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
     val als = new ALS()
