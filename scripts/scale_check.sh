@@ -8,8 +8,16 @@ set -euo pipefail
 
 SF_DIR="${1:-/root/testdata/sf0.1}"
 OUT_DIR="${2:-target/verify_sf01_promotion}"
-QUERIES="q31_dedup_jaccard,q32_dedup_minhash,q33_dedup_simhash,q65_asof_join,q71_dedup_clusters,q72_dedup_compact,q87_minhash_production"
+# Third arg "all" = the full-suite certification (every oracle query
+# value-checked at SF_DIR — the round-8 one-shot, repeatable on demand);
+# default = the per-round scale-sensitive promotion family.
+QUERIES="${3:-q31_dedup_jaccard,q32_dedup_minhash,q33_dedup_simhash,q65_asof_join,q71_dedup_clusters,q72_dedup_compact,q87_minhash_production}"
 
-SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$QUERIES" \
-  sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
-python3 scripts/verify_local.py "$SF_DIR" "$OUT_DIR" "$QUERIES"
+if [ "$QUERIES" = "all" ]; then
+  SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+  python3 scripts/verify_local.py "$SF_DIR" "$OUT_DIR"
+else
+  SPARK_GRAFT_CPUS=16 SPARK_GRAFT_ONLY="$QUERIES" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
+  python3 scripts/verify_local.py "$SF_DIR" "$OUT_DIR" "$QUERIES"
+fi
