@@ -65,7 +65,12 @@ object Bench {
     // value_mlfit (qml*) subtotals — the ML-fit queries swing 2-3× between
     // runs on identical code, so round-over-round comparisons should track
     // the relational subtotal and read the fit subtotal as its own series.
-    val Protocol = "min_of_2_median_of_3_sub5s_split"
+    // _med5 v3: sub-2s queries take 5 runs and report the median — twice
+    // now (q64 r6, q40 r7) a sub-2s query drew TWO environmental outliers
+    // in one round and the 3-run median reported slow; a 5-run median is
+    // robust to two. Costs ~1 min over the full suite, only where runs
+    // are cheapest. The 2–5s band keeps median-of-3, ≥5s keeps min-of-2.
+    val Protocol = "min2_med3_sub5s_med5_sub2s_split"
     val results = selected.map { q =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -92,7 +97,10 @@ object Bench {
         if (runs.exists(_._2.isDefined)) -1.0
         else if (runs.map(_._1).min < 5.0) {
           runs = runs :+ once()
-          runs.map(_._1).sorted.apply(1) // median of 3
+          if (runs.map(_._1).min < 2.0) {
+            runs = runs ++ Seq(once(), once())
+            runs.map(_._1).sorted.apply(2) // median of 5
+          } else runs.map(_._1).sorted.apply(1) // median of 3
         } else runs.map(_._1).min
       val err = runs.flatMap(_._2).headOption
       (q.name, reported, err, runs.map(_._1))
