@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.streaming.StreamingWindows
 
 /** Scale-gated batch-vs-stream agreement for the windowed-aggregation
@@ -52,6 +53,50 @@ class ScaleStreamSpec extends AnyFunSuite {
       // windows newer than (max ts − watermark) stay open → strictly fewer
       assert(rows.length < batch.size,
         s"expected open tail windows: stream=${rows.length} batch=${batch.size}")
+    } finally q.stop()
+  }
+
+  gated("streaming ingest dedup holds at sf0.1 (100k rows + 1k planted dups)") {
+    // the state-heaviest streaming op: every distinct content hash
+    // inside the watermark horizon is a state-store row. Mirrors the
+    // sf0.001 MlStreamSpec check at 100× the state, but asserts through
+    // DISTRIBUTED counts only (no collected hash sets — the check
+    // itself must stay scale-honest): streamed ⊆ batch digests holds by
+    // construction (same md5 over the same file), so
+    // streamCount == streamDistinct == batchDistinct ⟺ set equality.
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = Tables.events(spark, sf)
+      .select("ts", "event_id", "user_id", "event_type", "value")
+    val planted = base.limit(1000)
+      .withColumn("ts", col("ts") + expr("interval 1 second"))
+      .withColumn("event_id", col("event_id") + 10000000L)
+    val staged = base.unionByName(planted)
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_sdedup_raw")
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_sdedup_src")
+    staged.coalesce(1).write.mode("overwrite").parquet(tmpA.toString)
+    val part = java.nio.file.Files.list(tmpA).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      tmpB.resolve("events.parquet"))
+    val nTotal = staged.count()
+    val rawSchema = spark.read.parquet(s"$tmpB/events.parquet").schema
+    val q = StreamingWindows.dedupStream(spark, tmpB.toString, rawSchema,
+      "dedup_scale_spec")
+    try {
+      q.processAllAvailable()
+      val out = spark.table("dedup_scale_spec")
+      val streamCount = out.count()
+      val streamDistinct = out.select("content_hash").distinct().count()
+      val batchDistinct = spark.read.parquet(s"$tmpB/events.parquet")
+        .select(md5(concat_ws("|", col("user_id"), col("event_type"),
+          col("value"))).as("h"))
+        .distinct().count()
+      assert(batchDistinct < nTotal, "staging failed to plant duplicates")
+      assert(streamCount == streamDistinct,
+        s"a digest was emitted more than once: $streamCount vs $streamDistinct")
+      assert(streamCount == batchDistinct,
+        s"stream=$streamCount batch=$batchDistinct")
     } finally q.stop()
   }
 }
