@@ -99,4 +99,64 @@ class ScaleStreamSpec extends AnyFunSuite {
         s"stream=$streamCount batch=$batchDistinct")
     } finally q.stop()
   }
+
+  gated("sessionizer agrees with batch gaps-and-islands at sf0.1") {
+    // the custom-state path (flatMapGroupsWithState, event-time
+    // timeouts): per-user session state over 100k events. Same contract
+    // MlStreamSpec pins at sf0.001, but the set comparison runs as
+    // distributed exceptAll counts, not collected driver-side sets.
+    import org.apache.spark.sql.expressions.Window
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val q = StreamingWindows.sessionizeStream(spark, sf, rawSchema,
+      "sessionize_scale_spec")
+    try {
+      q.processAllAvailable()
+      // event-time timeouts fire in the no-data batch after the
+      // watermark advances; poll until output stabilizes
+      var prev = -1L
+      var rows = 0L
+      val deadline = System.currentTimeMillis() + 120000
+      while ((rows == 0 || rows != prev) &&
+          System.currentTimeMillis() < deadline) {
+        prev = rows
+        Thread.sleep(1000)
+        q.processAllAvailable()
+        rows = spark.table("sessionize_scale_spec").count()
+      }
+      val streamed = spark.table("sessionize_scale_spec")
+        .select("user_id", "s_start", "n_events", "sum_cents")
+      // batch truth: gaps-and-islands over the same events
+      val e = Tables.events(spark, sf)
+        .select(col("user_id").cast("long").as("u"),
+          unix_timestamp(col("ts")).as("t"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val w = Window.partitionBy("u").orderBy("t")
+      val sess = e
+        .withColumn("new_s",
+          when(col("t") - lag("t", 1).over(w) < 1800, 0).otherwise(1))
+        .withColumn("sid", sum("new_s").over(
+          Window.partitionBy("u").orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("u", "sid")
+        .agg(min("t").as("s_start"), max("t").as("s_last"),
+          count(lit(1)).as("n"), sum("cents").as("cents"))
+      val maxT = e.agg(max("t")).head().getLong(0)
+      // every non-last session closes in-batch; a user's LAST session
+      // only emits via event-time timeout (watermark strictly past
+      // last + gap)
+      val expected = sess
+        .withColumn("max_sid", max("sid").over(Window.partitionBy("u")))
+        .filter(col("sid") < col("max_sid") ||
+          col("s_last") + 1800 < maxT)
+        .select(col("u").as("user_id"), col("s_start"),
+          col("n").as("n_events"), col("cents").as("sum_cents"))
+      assert(streamed.count() > 0, "no sessions emitted")
+      assert(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty,
+        s"session sets disagree: stream=${streamed.count()} " +
+          s"expected=${expected.count()}")
+    } finally q.stop()
+  }
 }
