@@ -159,4 +159,37 @@ class ScaleStreamSpec extends AnyFunSuite {
           s"expected=${expected.count()}")
     } finally q.stop()
   }
+
+  gated("stream-stream interval join matches the batch band join at sf0.1") {
+    // the stateful-join path: both sides buffer watermark-bounded state.
+    // At sf0.1 the truth cannot be the sf0.001 test's brute-force
+    // crossJoin (~20k × 20k); instead the BATCH bandJoin operator (the
+    // q67 plan, div-bucketed equi-join) at microsecond precision is the
+    // truth — exactly the semantics the streaming join implements, via
+    // an independently-tested code path. ~92k pairs at sf0.1.
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val q = StreamingWindows.intervalJoinStream(spark, sf, rawSchema,
+      "interval_scale_spec", deltaSec = 600L)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("interval_scale_spec").select("c_id", "v_id")
+      val e = Tables.events(spark, sf)
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val v = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"),
+          unix_micros(col("ts")).as("v_us"))
+      val batch = graft.ops.RelationalOps
+        .bandJoin(c, v, "c_us", "v_us", 600L * 1000000L)
+        .select("c_id", "v_id")
+      assert(streamed.count() > 0, "no pairs emitted")
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        s"pair sets disagree: stream=${streamed.count()} " +
+          s"batch=${batch.count()}")
+    } finally q.stop()
+  }
 }
