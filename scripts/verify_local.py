@@ -45,15 +45,19 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
-def row_key(row, cols):
+def row_key(row, cols, masked=frozenset()):
     # Deterministic full-row sort key, identical for equal values on both
     # sides. Floats are formatted at 7 significant digits so values equal
     # under the compare tolerance almost always share a key; order only
-    # needs to be CONSISTENT across the two lists, not numeric.
+    # needs to be CONSISTENT across the two lists, not numeric. Columns in
+    # `masked` contribute no value (used by the tolerant fallback, where
+    # float cells are compared with cells_equal instead of by key).
     key = []
     for c in cols:
         v = row[c]
-        if v is None:
+        if c in masked:
+            key.append((2, "*"))
+        elif v is None:
             key.append((0, ""))
         elif isinstance(v, bool):
             key.append((1, str(v)))
@@ -66,6 +70,53 @@ def row_key(row, cols):
         else:
             key.append((4, str(v)))
     return tuple(key)
+
+
+def float_col_names(*tables):
+    import pyarrow as pa
+
+    out = set()
+    for t in tables:
+        for name, typ in zip(t.schema.names, t.schema.types):
+            if pa.types.is_floating(typ):
+                out.add(name)
+    return out
+
+
+def tolerant_multiset_match(s_rows, o_rows, cols, floaty):
+    """Fallback for a sorted-pairwise mismatch: float sort keys bucket at 7
+    significant digits, so two values equal under the 1e-9 tolerance can
+    straddle a formatting boundary and land at different sorted positions
+    — a spurious row-pairing, never a real value difference. Re-match as a
+    multiset: bucket both sides on the float-masked key, then greedily pair
+    rows inside each bucket with the full cells_equal tolerance. Greedy
+    matching can in principle miss a perfect pairing when one row matches
+    several near-identical candidates, but that failure mode is a false
+    FAIL (same as today), never a false PASS. Returns None when every row
+    matched, else (spark_row, oracle_candidate_or_None)."""
+    buckets = {}
+    for r in o_rows:
+        buckets.setdefault(row_key(r, cols, floaty), []).append(r)
+    if buckets and max(len(b) for b in buckets.values()) > 20000:
+        # all-float schema at huge row counts: the O(bucket²) pairing is
+        # not worth it; let the original pairwise verdict stand
+        return (s_rows[0], None)
+    for sr in s_rows:
+        cand = buckets.get(row_key(sr, cols, floaty))
+        if not cand:
+            return (sr, None)
+        hit = next(
+            (
+                i
+                for i, orow in enumerate(cand)
+                if all(cells_equal(sr[c], orow[c]) for c in cols)
+            ),
+            None,
+        )
+        if hit is None:
+            return (sr, cand[0])
+        cand.pop(hit)
+    return None
 
 
 def main():
@@ -128,9 +179,22 @@ def main():
             if bad:
                 break
         if bad:
-            i, c, sv, ov = bad
-            ok = fail(f"{name}: value mismatch row {i} col {c}: spark={sv!r} oracle={ov!r}")
-            continue
+            # the pairwise walk depends on both sides sorting equal-valued
+            # rows to the same positions; float keys can break that (see
+            # tolerant_multiset_match) — re-check order-free before failing
+            floaty = frozenset(float_col_names(spark_tbl, ora))
+            unmatched = (
+                tolerant_multiset_match(s_rows, o_rows, s_cols, floaty)
+                if floaty
+                else bad
+            )
+            if unmatched is not None:
+                i, c, sv, ov = bad
+                ok = fail(
+                    f"{name}: value mismatch row {i} col {c}: spark={sv!r} oracle={ov!r}"
+                )
+                continue
+            print(f"NOTE {name}: pairwise order differed on float keys; tolerant multiset match passed")
         n_checked += 1
         print(f"PASS {name}: rows={spark_tbl.num_rows} hash_match=True")
 

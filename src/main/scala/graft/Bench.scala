@@ -119,11 +119,15 @@ object Bench {
       case (k, v, None, _) if k.startsWith("qml") => v }.sum
     val relational = total - mlfit
     val nFailed = results.count(_._3.isDefined)
-    val json = s"""{"metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","queries":$qs,"runs":$allRuns,"errors":$errs,"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir"}"""
-    println(json)
-    // ALSO write to a file: the driver captures only a tail of stdout, and
-    // the one-line JSON has twice been clipped mid-object (BENCH_r04/r05,
-    // losing ~half the per-query timings). The file is the durable copy.
+    // Two artifacts, one contract: the driver tails stdout, and the full
+    // JSON with every raw `runs` array has repeatedly outgrown that tail
+    // (BENCH_r04/r05 clipped mid-object; r06–r08 "parsed": null). The
+    // stdout line is therefore COMPACT — totals + per-query reported
+    // values + errors, no raw runs — and the full JSON (with runs) goes
+    // only to the durable file.
+    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir""""
+    val json = s"""{$totals,"runs":$allRuns}"""
+    println(s"{$totals}")
     try {
       // subset runs (SPARK_GRAFT_ONLY) default to a different file so an
       // ad-hoc probe never clobbers the round's full-map artifact

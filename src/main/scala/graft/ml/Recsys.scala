@@ -57,32 +57,62 @@ object Recsys {
     // a deep fit (maxIter > ~10) at scale builds an object graph whose
     // task deserialization overflows the executor thread stack
     // (surfaced by the sf0.1 verbatim-grid run). Respect a caller-set
-    // dir; otherwise anchor a temp one so every grid path is safe.
+    // dir; otherwise anchor a temp one for the fit's duration — and undo
+    // the mutation afterwards: the checkpoint dir is session-global
+    // state, so a leftover setting would silently redirect every later
+    // checkpoint user, and the temp dir itself (holding checkpointed
+    // factor RDD blocks) would accumulate on a real cluster's DFS.
     val sc = ratings.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty && maxIter > 10)
-      sc.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_als_cp").toString)
+    val anchoredCp: Option[java.nio.file.Path] =
+      if (sc.getCheckpointDir.isEmpty && maxIter > 10) {
+        val d = java.nio.file.Files.createTempDirectory("graft_als_cp")
+        sc.setCheckpointDir(d.toString)
+        Some(d)
+      } else None
     val persisted = ratings.persist(StorageLevel.MEMORY_AND_DISK)
-    val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
-    val als = new ALS()
-      .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
-      .setColdStartStrategy("drop") // unseen users/items must not NaN the metric
-      .setMaxIter(maxIter).setSeed(seed)
-    val grid = new ParamGridBuilder()
-      .addGrid(als.rank, ranks.toArray)
-      .addGrid(als.regParam, regParams.toArray).build()
-    val ev = new RegressionEvaluator().setMetricName("rmse")
-      .setLabelCol(ratingCol).setPredictionCol("prediction")
-    val best = Classifiers.tvsGrid(als, grid, ev, train)
-    val pred = best.transform(test)
-    val res = GridResult(best.rank,
-      best.parent.asInstanceOf[ALS].getRegParam,
-      ev.evaluate(pred),
-      new RegressionEvaluator().setMetricName("r2").setLabelCol(ratingCol)
-        .setPredictionCol("prediction").evaluate(pred))
-    persisted.unpersist()
-    res
+    try {
+      val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
+      val als = new ALS()
+        .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
+        .setColdStartStrategy("drop") // unseen users/items must not NaN the metric
+        .setMaxIter(maxIter).setSeed(seed)
+      val grid = new ParamGridBuilder()
+        .addGrid(als.rank, ranks.toArray)
+        .addGrid(als.regParam, regParams.toArray).build()
+      val ev = new RegressionEvaluator().setMetricName("rmse")
+        .setLabelCol(ratingCol).setPredictionCol("prediction")
+      val best = Classifiers.tvsGrid(als, grid, ev, train)
+      val pred = best.transform(test)
+      // both evaluate() calls are actions: by the time GridResult exists
+      // the metrics are plain scalars and nothing downstream can ever
+      // re-read the checkpointed factor blocks — safe to delete the dir
+      GridResult(best.rank,
+        best.parent.asInstanceOf[ALS].getRegParam,
+        ev.evaluate(pred),
+        new RegressionEvaluator().setMetricName("r2").setLabelCol(ratingCol)
+          .setPredictionCol("prediction").evaluate(pred))
+    } finally {
+      persisted.unpersist()
+      anchoredCp.foreach { d =>
+        sc.setCheckpointDir(null) // restore the no-checkpoint-dir state
+        deleteRecursively(d)
+      }
+    }
   }
+
+  /** Best-effort recursive delete for self-anchored temp checkpoint dirs
+    * (local filesystem only — a caller-provided cluster checkpoint dir is
+    * never touched). */
+  private[ml] def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Top-k recommendations per user, exploded and rounded — the
     * reference's presentation shape (`als.py:44-50`: recommendForAllUsers

@@ -32,15 +32,10 @@ object ReferenceAls {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // ALS truncates its factor lineage every checkpointInterval (10)
-    // iterations ONLY when a checkpoint dir is set; without one, a
-    // maxIter-20 fit at sf0.1 builds an object graph deep enough that
-    // task deserialization overflows the executor thread stack
-    // (StackOverflowError in ObjectInputStream). On a cluster this is
-    // mandatory for deep iterative fits; locally a temp dir suffices.
-    val cpDir = java.nio.file.Files
-      .createTempDirectory("graft_refals_cp").toString
-    spark.sparkContext.setCheckpointDir(cpDir)
+    // No checkpoint-dir setup here: `fitAlsGrid` self-anchors a temp
+    // checkpoint dir for deep fits (maxIter > 10 — mandatory, or the
+    // factor lineage overflows the task-deserialization stack at scale)
+    // and deletes it + restores the no-checkpoint-dir state afterwards.
     val r = Recsys.fitAlsGrid(Tables.ratings(spark, sfDir),
       "user_id", "item_id", "rating",
       ranks = Seq(20, 30), regParams = Seq(0.1, 0.01), maxIter = 20)

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 import graft.ml.Recsys
 
 /** Repeatable check for the reference-verbatim ALS grid (reference
@@ -32,9 +33,25 @@ class ReferenceAlsSpec extends AnyFunSuite {
   gated("verbatim ALS grid on sf0.01: winner comes from the grid, " +
       "RMSE under the constant-predictor ceiling") {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // the deep fit self-anchors a temp checkpoint dir; both the dir and
+    // the session-global checkpoint setting must be restored afterwards
+    // (checkpoint litter + inherited-dir bugs otherwise — ADVICE r8)
+    def cpDirs(): Set[String] = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.contains("graft_als_cp")).toSet
+      finally s.close()
+    }
+    val dirsBefore = cpDirs()
+    val cpBefore = spark.sparkContext.getCheckpointDir
     val r = Recsys.fitAlsGrid(Tables.ratings(spark, sf),
       "user_id", "item_id", "rating",
       ranks = Seq(20, 30), regParams = Seq(0.1, 0.01), maxIter = 20)
+    assert(cpDirs() == dirsBefore,
+      "fitAlsGrid leaked a temp checkpoint dir")
+    assert(spark.sparkContext.getCheckpointDir == cpBefore,
+      "fitAlsGrid left the session checkpoint dir mutated")
     assert(Set(20, 30)(r.bestRank), s"bestRank=${r.bestRank} not in grid")
     assert(Set(0.1, 0.01)(r.bestRegParam),
       s"bestRegParam=${r.bestRegParam} not in grid")

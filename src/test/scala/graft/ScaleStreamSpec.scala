@@ -142,14 +142,21 @@ class ScaleStreamSpec extends AnyFunSuite {
         .groupBy("u", "sid")
         .agg(min("t").as("s_start"), max("t").as("s_last"),
           count(lit(1)).as("n"), sum("cents").as("cents"))
-      val maxT = e.agg(max("t")).head().getLong(0)
       // every non-last session closes in-batch; a user's LAST session
-      // only emits via event-time timeout (watermark strictly past
-      // last + gap)
+      // only emits via event-time timeout. The timeout comparison runs
+      // at the watermark's precision: the state timeout is set at
+      // (s_last + gap) * 1000 ms and fires when strictly below the
+      // watermark, which is floor(max event-time micros / 1000) with the
+      // 0s delay — so the truth must use ms, not whole seconds, or a
+      // boundary session (s_last + gap == maxT with a sub-second
+      // fraction on the max timestamp) is emitted by the stream but
+      // excluded from the batch side (false failure).
+      val maxMs = Tables.events(spark, sf)
+        .agg(max(unix_millis(col("ts")))).head().getLong(0)
       val expected = sess
         .withColumn("max_sid", max("sid").over(Window.partitionBy("u")))
         .filter(col("sid") < col("max_sid") ||
-          col("s_last") + 1800 < maxT)
+          (col("s_last") + 1800) * 1000 < maxMs)
         .select(col("u").as("user_id"), col("s_start"),
           col("n").as("n_events"), col("cents").as("sum_cents"))
       assert(streamed.count() > 0, "no sessions emitted")
