@@ -350,14 +350,27 @@ object Dedup {
   def connectedComponents(edges: DataFrame, a: String, b: String,
                           maxIter: Int = 25,
                           checkpointDir: Option[String] = None,
-                          algorithm: String = "minlabel"): DataFrame =
-    algorithm match {
-      case "minlabel" => ccMinLabel(edges, a, b, maxIter, checkpointDir)
-      case "star"     => ccLargeSmallStar(edges, a, b, maxIter, checkpointDir)
+                          algorithm: String = "minlabel"): DataFrame = {
+    // The checkpoint dir is session-global state: point the session at
+    // the caller's dir only for the loop's duration, then restore —
+    // leaving it set would silently redirect every later checkpoint user
+    // (the fitAlsGrid lesson, ADVICE r8). getCheckpointDir returns the
+    // previously RESOLVED (uuid-suffixed) path, so a restore re-anchors
+    // one uuid level deeper under the same root the earlier caller chose
+    // — still their root, and cleared entirely when none was set. The
+    // checkpoint FILES written under the caller's dir are theirs to keep
+    // or delete (documented above).
+    val sc = edges.sparkSession.sparkContext
+    val prevCp = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try algorithm match {
+      case "minlabel" => ccMinLabel(edges, a, b, maxIter, checkpointDir.isDefined)
+      case "star"     => ccLargeSmallStar(edges, a, b, maxIter, checkpointDir.isDefined)
       case other => throw new IllegalArgumentException(
         s"connectedComponents: unknown algorithm '$other' " +
           "(expected 'minlabel' or 'star')")
-    }
+    } finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevCp.orNull)
+  }
 
   /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s
     * rows and rebuild the frame from the anchored RDD — the per-round
@@ -376,11 +389,8 @@ object Dedup {
   }
 
   private def ccMinLabel(edges: DataFrame, a: String, b: String,
-                         maxIter: Int,
-                         checkpointDir: Option[String]): DataFrame = {
+                         maxIter: Int, useCp: Boolean): DataFrame = {
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    val useCp = checkpointDir.isDefined
     val sym = RelationalOps.materialized(
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
@@ -451,11 +461,8 @@ object Dedup {
     * min-label's 2 + 1, which is why it is the flagged fallback rather
     * than the default. */
   private def ccLargeSmallStar(edges: DataFrame, a: String, b: String,
-                               maxIter: Int,
-                               checkpointDir: Option[String]): DataFrame = {
+                               maxIter: Int, useCp: Boolean): DataFrame = {
     val spark = edges.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    val useCp = checkpointDir.isDefined
     // every node that appears in any edge must come out labeled, and the
     // contraction ends with only (child, root) edges — remember the node
     // set up front (self-loop-only nodes would otherwise vanish with

@@ -451,17 +451,29 @@ class OpsSpec extends AnyFunSuite {
       val kids = Option(d.listFiles()).getOrElse(Array.empty)
       kids.count(_.isFile) + kids.filter(_.isDirectory).map(filesUnder).sum
     }
-    for (algo <- Seq("minlabel", "star")) {
-      val before = filesUnder(new java.io.File(dir))
-      val cp = graft.ext.Dedup.connectedComponents(edges, "a", "b",
-          checkpointDir = Some(dir), algorithm = algo)
-        .as[(Long, Long)].collect().toMap
-      assert(cp == plain, s"$algo: checkpointed labels differ")
-      // the per-round RDDs really were checkpointed (executor-loss
-      // survival path), not just persisted
-      assert(filesUnder(new java.io.File(dir)) > before,
-        s"$algo: no checkpoint files written under $dir")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRec)
+      f.delete()
     }
+    try {
+      for (algo <- Seq("minlabel", "star")) {
+        val before = filesUnder(new java.io.File(dir))
+        val cpBefore = spark.sparkContext.getCheckpointDir
+        val cp = graft.ext.Dedup.connectedComponents(edges, "a", "b",
+            checkpointDir = Some(dir), algorithm = algo)
+          .as[(Long, Long)].collect().toMap
+        assert(cp == plain, s"$algo: checkpointed labels differ")
+        // the per-round RDDs really were checkpointed (executor-loss
+        // survival path), not just persisted
+        assert(filesUnder(new java.io.File(dir)) > before,
+          s"$algo: no checkpoint files written under $dir")
+        // the session-global checkpoint setting must come back: a CC run
+        // must not silently redirect later checkpoint users to its dir
+        assert(spark.sparkContext.getCheckpointDir == cpBefore,
+          s"$algo: session checkpoint dir left mutated")
+      }
+    } finally deleteRec(new java.io.File(dir))
   }
 
   test("asOfJoin hot-key split equals the single-window plan and buckets the window") {
