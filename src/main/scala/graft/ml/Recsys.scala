@@ -95,24 +95,10 @@ object Recsys {
       persisted.unpersist()
       anchoredCp.foreach { d =>
         sc.setCheckpointDir(null) // restore the no-checkpoint-dir state
-        deleteRecursively(d)
+        graft.Staging.deleteRecursively(d)
       }
     }
   }
-
-  /** Best-effort recursive delete for self-anchored temp checkpoint dirs
-    * (local filesystem only — a caller-provided cluster checkpoint dir is
-    * never touched). */
-  private[ml] def deleteRecursively(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.iterator().asScala.toSeq.reverseIterator
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    } catch { case _: java.io.IOException => () }
 
   /** Top-k recommendations per user, exploded and rounded — the
     * reference's presentation shape (`als.py:44-50`: recommendForAllUsers

@@ -50,8 +50,7 @@ class MlStreamSpec extends AnyFunSuite {
       (7.0, 1.0, 1.0), (5.5, 2.5, 1.0), (1.5, 9.0, 0.0))
       .toDF("x1", "x2", "y")
     val df = FeaturePipeline.assembleAndScale(raw, Seq("x1", "x2"))
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_model_spec").toString
+    val tmp = TestSpark.tempDir("graft_model_spec").toString
     val (fitted, reloaded) = Classifiers.saveLoadRoundtrip(df,
       "scaled_features", "y", tmp)
     assert(fitted.coefficients == reloaded.coefficients)
@@ -216,8 +215,8 @@ class MlStreamSpec extends AnyFunSuite {
       .withColumn("ts", col("ts") + expr("interval 1 second"))
       .withColumn("event_id", col("event_id") + 1000000L)
     val staged = base.unionByName(planted)
-    val tmpA = java.nio.file.Files.createTempDirectory("graft_dedup_raw")
-    val tmpB = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    val tmpA = TestSpark.tempDir("graft_dedup_raw")
+    val tmpB = TestSpark.tempDir("graft_dedup_src")
     staged.coalesce(1).write.mode("overwrite").parquet(tmpA.toString)
     val part = java.nio.file.Files.list(tmpA).toArray.map(_.toString)
       .filter(_.endsWith(".parquet")).head
@@ -276,8 +275,7 @@ class MlStreamSpec extends AnyFunSuite {
   test("foreachBatch parquet sink: content matches batch, replay is idempotent") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_sink_spec").toString
+    val outDir = TestSpark.tempDir("graft_sink_spec").toString
     val q = StreamingWindows.parquetSinkStream(spark, Sf, rawSchema, outDir)
     try q.processAllAvailable() finally q.stop()
     def readBack() = spark.read.parquet(outDir)

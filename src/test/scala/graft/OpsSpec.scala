@@ -133,7 +133,7 @@ class OpsSpec extends AnyFunSuite {
   test("writeBucketed table joins without exchange below the join") {
     val spark2 = spark
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    val tmp = TestSpark.tempDir("graft_bkt").toString
     graft.sources.Sources.writeBucketed(df, "bkt_a", s"$tmp/a", "k", 4)
     graft.sources.Sources.writeBucketed(df, "bkt_b", s"$tmp/b", "k", 4)
     val joined = spark2.table("bkt_a")
@@ -219,7 +219,7 @@ class OpsSpec extends AnyFunSuite {
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
       .map(k => k -> c.getOption(k))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    val tmp = TestSpark.tempDir("graft_bloom").toString
     try {
       c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
       c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -269,10 +269,10 @@ class OpsSpec extends AnyFunSuite {
   test("CSV inferSchema roundtrip preserves values and types") {
     val df = Seq((1L, "alpha", 12.75), (2L, "beta", -3.5))
       .toDF("id", "name", "score")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    val tmp = TestSpark.tempDir("graft_csv_spec").toString
     graft.sources.Sources.writeCsv(df, tmp)
     // scale-path sink: one file per partition, no single-task funnel
-    val tmpD = java.nio.file.Files.createTempDirectory("graft_csvd_spec").toString
+    val tmpD = TestSpark.tempDir("graft_csvd_spec").toString
     graft.sources.Sources.writeCsvDistributed(df.repartition(3), tmpD)
     assert(new java.io.File(tmpD).listFiles().count(_.getName.endsWith(".csv")) > 1)
     val back = graft.sources.Sources.csv(spark, tmp) // S1 inferred-schema path

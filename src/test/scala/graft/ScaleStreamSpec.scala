@@ -72,8 +72,8 @@ class ScaleStreamSpec extends AnyFunSuite {
       .withColumn("ts", col("ts") + expr("interval 1 second"))
       .withColumn("event_id", col("event_id") + 10000000L)
     val staged = base.unionByName(planted)
-    val tmpA = java.nio.file.Files.createTempDirectory("graft_sdedup_raw")
-    val tmpB = java.nio.file.Files.createTempDirectory("graft_sdedup_src")
+    val tmpA = TestSpark.tempDir("graft_sdedup_raw")
+    val tmpB = TestSpark.tempDir("graft_sdedup_src")
     staged.coalesce(1).write.mode("overwrite").parquet(tmpA.toString)
     val part = java.nio.file.Files.list(tmpA).toArray.map(_.toString)
       .filter(_.endsWith(".parquet")).head

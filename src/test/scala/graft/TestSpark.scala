@@ -17,4 +17,14 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Temp dir that deletes itself when the test JVM exits — every spec
+    * staging fixture goes through here so test runs stop accumulating
+    * dirs under /tmp (the checkpoint-dir litter lesson, round 9). */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => Staging.deleteRecursively(d), s"rm-$prefix"))
+    d
+  }
 }
