@@ -4,7 +4,8 @@
 # connected-components agreement at sf0.1, and the four stateful-streaming
 # agreement tests at sf0.1. Run from the repo root after any change to the
 # ALS/CC/streaming subsystems (or once per round to refresh the cadence
-# table); exits non-zero on any failure. ~10-15 min wall at local[32].
+# table); exits non-zero on any failure. Measured ~2.5 min wall warm at
+# local[32] (r9: 2m22s); a cold sbt launch adds a few minutes.
 set -euo pipefail
 
 # One sbt invocation covers the per-spec defaults (ALS→sf0.01,

@@ -144,5 +144,14 @@ object Bench {
       System.err.println(s"[bench] file write failed (stdout line stands): $e")
     }
     spark.stop()
+    // Totals-only line, printed LAST (after spark.stop() so no Spark
+    // shutdown output can follow it): the driver's tail capture clips from
+    // the FRONT, and the compact line above (~3.5 KB: totals + per-query
+    // map) kept losing exactly its front — the totals (BENCH_r06–r09
+    // "parsed": null). This ~200-byte line carries only the totals, so any
+    // tail window that sees the end of stdout sees all of it. The compact
+    // line stays for the per-query map; the full JSON with raw runs stays
+    // in the durable file.
+    println(s"""{"metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.SparkContext
+
+/** Restores the session-global checkpoint dir after a scoped override
+  * (the pattern [[graft.ext.Dedup.connectedComponents]] uses: point the
+  * session at the caller's dir for a loop's duration, then put back what
+  * was there).
+  *
+  * Spark exposes no exact-restore API: `setCheckpointDir(root)` resolves
+  * and mkdirs a fresh UUID-suffixed subdir of `root`, and
+  * `getCheckpointDir` returns that RESOLVED path. Restoring with the
+  * latest resolved path therefore re-anchors one UUID level DEEPER on
+  * every scoped call — repeated calls in a session with a pre-set
+  * checkpoint dir would nest directories unboundedly (ADVICE r9). This
+  * helper remembers, for every resolved path a restore produced, the
+  * root string that produced it, and restores with the ROOT — so no
+  * matter how many scoped calls run, the session dir stays anchored one
+  * level under the first prior dir ever seen, never deeper.
+  */
+private[graft] object CheckpointScope {
+  // resolved checkpoint path -> the root string whose setCheckpointDir
+  // produced it. One small-string entry per restore call in this JVM —
+  // growth is bounded by the number of scoped-override calls, not data.
+  private val rootOf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Put the session checkpoint dir back to `prev` (a value captured
+    * from `sc.getCheckpointDir` before the override). None restores the
+    * unset state exactly; Some(p) restores to p's recorded ROOT when p
+    * was itself produced by an earlier restore, else to p itself (the
+    * one unavoidable extra level for an externally-set dir). */
+  def restore(sc: SparkContext, prev: Option[String]): Unit = prev match {
+    case None => sc.setCheckpointDir(null)
+    case Some(p) =>
+      val root = rootOf.getOrDefault(p, p)
+      sc.setCheckpointDir(root)
+      sc.getCheckpointDir.foreach(resolved => rootOf.put(resolved, root))
+  }
+}

@@ -39,5 +39,9 @@ object Staging {
           .foreach(Files.deleteIfExists(_))
         finally walk.close()
       }
-    } catch { case _: java.io.IOException => () }
+      // NonFatal, not just IOException: Files.walk's iterator wraps IO
+      // errors in UncheckedIOException (a RuntimeException), and this is
+      // called from finally blocks — a traversal hiccup must not replace
+      // a successful result with an exception (ADVICE r9)
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

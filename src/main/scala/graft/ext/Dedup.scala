@@ -354,12 +354,13 @@ object Dedup {
     // The checkpoint dir is session-global state: point the session at
     // the caller's dir only for the loop's duration, then restore —
     // leaving it set would silently redirect every later checkpoint user
-    // (the fitAlsGrid lesson, ADVICE r8). getCheckpointDir returns the
-    // previously RESOLVED (uuid-suffixed) path, so a restore re-anchors
-    // one uuid level deeper under the same root the earlier caller chose
-    // — still their root, and cleared entirely when none was set. The
-    // checkpoint FILES written under the caller's dir are theirs to keep
-    // or delete (documented above).
+    // (the fitAlsGrid lesson, ADVICE r8). The restore goes through
+    // [[graft.CheckpointScope]], which pins the prior dir's ROOT: a naive
+    // restore via the resolved (uuid-suffixed) getCheckpointDir value
+    // would re-anchor one level deeper on every call and nest
+    // unboundedly across repeated CC runs (ADVICE r9). The checkpoint
+    // FILES written under the caller's dir are theirs to keep or delete
+    // (documented above).
     val sc = edges.sparkSession.sparkContext
     val prevCp = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
@@ -369,7 +370,8 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"connectedComponents: unknown algorithm '$other' " +
           "(expected 'minlabel' or 'star')")
-    } finally if (checkpointDir.isDefined) sc.setCheckpointDir(prevCp.orNull)
+    } finally if (checkpointDir.isDefined)
+      graft.CheckpointScope.restore(sc, prevCp)
   }
 
   /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s

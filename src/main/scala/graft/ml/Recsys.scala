@@ -65,7 +65,11 @@ object Recsys {
     val sc = ratings.sparkSession.sparkContext
     val anchoredCp: Option[java.nio.file.Path] =
       if (sc.getCheckpointDir.isEmpty && maxIter > 10) {
-        val d = java.nio.file.Files.createTempDirectory("graft_als_cp")
+        // pid in the prefix: lets the leak-check spec scope its tmpdir
+        // scan to THIS JVM's dirs, so a concurrent graft process
+        // anchoring its own ALS checkpoint can't trip the assertion
+        val d = java.nio.file.Files.createTempDirectory(
+          s"graft_als_cp_${ProcessHandle.current().pid()}_")
         sc.setCheckpointDir(d.toString)
         Some(d)
       } else None

@@ -476,6 +476,41 @@ class OpsSpec extends AnyFunSuite {
     } finally deleteRec(new java.io.File(dir))
   }
 
+  test("repeated CC runs with a pre-set session checkpoint dir restore at a " +
+      "bounded depth (no per-call nesting)") {
+    // Spark's setCheckpointDir resolves a fresh uuid subdir, so a naive
+    // restore-by-resolved-path re-anchors one level deeper per CC call
+    // (ADVICE r9). CheckpointScope pins the root: depth must stay
+    // constant across repeated calls, one level under the prior dir.
+    val userRoot = java.nio.file.Files.createTempDirectory("graft_cc_user_cp")
+    val ccDir = java.nio.file.Files.createTempDirectory("graft_cc_loop_cp")
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "test precondition: shared session must start with no checkpoint dir")
+    try {
+      sc.setCheckpointDir(userRoot.toString)
+      val firstResolved = sc.getCheckpointDir.get
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val depths = (1 to 3).map { _ =>
+        graft.ext.Dedup.connectedComponents(edges, "a", "b",
+          checkpointDir = Some(ccDir.toString)).count()
+        java.nio.file.Paths.get(sc.getCheckpointDir.get).getNameCount
+      }
+      assert(depths.distinct.size == 1, s"restore depth drifted: $depths")
+      assert(depths.head ==
+        java.nio.file.Paths.get(firstResolved).getNameCount + 1,
+        s"restore not anchored one level under the prior dir: $depths")
+      // getCheckpointDir returns a QUALIFIED uri (file:/tmp/...), so
+      // containment, not startsWith, against the raw tmp path
+      assert(sc.getCheckpointDir.get.contains(userRoot.toString),
+        "restore left the user's checkpoint root")
+    } finally {
+      sc.setCheckpointDir(null) // back to the shared session's unset state
+      graft.Staging.deleteRecursively(userRoot)
+      graft.Staging.deleteRecursively(ccDir)
+    }
+  }
+
   test("asOfJoin hot-key split equals the single-window plan and buckets the window") {
     // key 1 holds 90% of rows — the scenario where the plain as-of join
     // funnels everything through one window task

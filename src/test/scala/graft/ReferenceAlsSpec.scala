@@ -40,7 +40,11 @@ class ReferenceAlsSpec extends AnyFunSuite {
       val s = java.nio.file.Files.list(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
       try s.iterator().asScala.map(_.toString)
-        .filter(_.contains("graft_als_cp")).toSet
+        // pid-scoped: only THIS JVM's ALS checkpoint dirs count — a
+        // concurrent graft process (Bench next to sbt test) anchoring
+        // its own dir must not fail the leak assertion (ADVICE r9)
+        .filter(_.contains(
+          s"graft_als_cp_${ProcessHandle.current().pid()}_")).toSet
       finally s.close()
     }
     val dirsBefore = cpDirs()
