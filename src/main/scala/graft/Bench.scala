@@ -125,9 +125,15 @@ object Bench {
     // stdout line is therefore COMPACT — totals + per-query reported
     // values + errors, no raw runs — and the full JSON (with runs) goes
     // only to the durable file.
-    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir""""
-    val json = s"""{$totals,"runs":$allRuns}"""
-    println(s"{$totals}")
+    // One source of truth for the totals fields: embedded in the compact
+    // line, the durable file, AND the totals-only final line below — a
+    // protocol change edited here stays consistent across all three.
+    // n_queries makes a SPARK_GRAFT_ONLY subset run self-describing: a
+    // totals line with n_queries far below the registry size is a probe,
+    // not a full-suite total.
+    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir""""
+    val json = s"""{$totals,"queries":$qs,"errors":$errs,"runs":$allRuns}"""
+    println(s"""{$totals,"queries":$qs,"errors":$errs}""")
     try {
       // subset runs (SPARK_GRAFT_ONLY) default to a different file so an
       // ad-hoc probe never clobbers the round's full-map artifact
@@ -152,6 +158,6 @@ object Bench {
     // tail window that sees the end of stdout sees all of it. The compact
     // line stays for the per-query map; the full JSON with raw runs stays
     // in the durable file.
-    println(s"""{"metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir"}""")
+    println(s"{$totals}")
   }
 }

@@ -17,6 +17,13 @@ import org.apache.spark.SparkContext
   * root string that produced it, and restores with the ROOT — so no
   * matter how many scoped calls run, the session dir stays anchored one
   * level under the first prior dir ever seen, never deeper.
+  *
+  * What this does NOT prevent: each restore's `setCheckpointDir(root)`
+  * still mkdirs one fresh empty UUID SIBLING under the pinned root
+  * (Spark offers no way to re-point at an existing resolved dir), so N
+  * scoped calls leave up to N empty sibling dirs there — flat,
+  * bounded by call count, and under the dir the user already owns and
+  * cleans; only the unbounded DEPTH growth is the hazard this fixes.
   */
 private[graft] object CheckpointScope {
   // resolved checkpoint path -> the root string whose setCheckpointDir
