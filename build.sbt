@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print one machine-parsed JSON line; sbt's default
+// forked-run logger decorates program stdout with "[info] " (BENCH_r06–r10
+// "parsed": null). StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // every ScalaCheck case is a full Spark job on a small DataFrame —
 // bound the case count so properties stay seconds, not minutes
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaCheck,

@@ -149,7 +149,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file write failed (stdout line stands): $e")
     }
-    spark.stop()
+    // best-effort: a shutdown failure must not swallow the totals line
+    // below — the driver artifact's whole point (ADVICE r10)
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop() failed (totals line stands): $e")
+    }
     // Totals-only line, printed LAST (after spark.stop() so no Spark
     // shutdown output can follow it): the driver's tail capture clips from
     // the FRONT, and the compact line above (~3.5 KB: totals + per-query

@@ -37,11 +37,21 @@ private[graft] object CheckpointScope {
     * unset state exactly; Some(p) restores to p's recorded ROOT when p
     * was itself produced by an earlier restore, else to p itself (the
     * one unavoidable extra level for an externally-set dir). */
-  def restore(sc: SparkContext, prev: Option[String]): Unit = prev match {
-    case None => sc.setCheckpointDir(null)
-    case Some(p) =>
-      val root = rootOf.getOrDefault(p, p)
-      sc.setCheckpointDir(root)
-      sc.getCheckpointDir.foreach(resolved => rootOf.put(resolved, root))
-  }
+  def restore(sc: SparkContext, prev: Option[String]): Unit =
+    try prev match {
+      case None => sc.setCheckpointDir(null)
+      case Some(p) =>
+        val root = rootOf.getOrDefault(p, p)
+        sc.setCheckpointDir(root)
+        sc.getCheckpointDir.foreach(resolved => rootOf.put(resolved, root))
+    } catch {
+      // Called from callers' finally blocks: a restore failure (pinned
+      // root deleted, mkdirs refused) must not replace the loop's primary
+      // exception. The session is left pointed at the scoped dir — wrong
+      // but observable; the caller's own work already completed (ADVICE
+      // r10).
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[graft] checkpoint-dir restore failed (session left at the scoped dir): $e")
+    }
 }

@@ -491,14 +491,18 @@ class OpsSpec extends AnyFunSuite {
       sc.setCheckpointDir(userRoot.toString)
       val firstResolved = sc.getCheckpointDir.get
       val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      // getCheckpointDir returns a QUALIFIED uri (file:/tmp/...); strip
+      // the scheme/authority before counting so depth is measured on the
+      // filesystem path alone, whatever qualification Spark applies
+      def depthOf(p: String): Int =
+        java.nio.file.Paths.get(new java.net.URI(p).getPath).getNameCount
       val depths = (1 to 3).map { _ =>
         graft.ext.Dedup.connectedComponents(edges, "a", "b",
           checkpointDir = Some(ccDir.toString)).count()
-        java.nio.file.Paths.get(sc.getCheckpointDir.get).getNameCount
+        depthOf(sc.getCheckpointDir.get)
       }
       assert(depths.distinct.size == 1, s"restore depth drifted: $depths")
-      assert(depths.head ==
-        java.nio.file.Paths.get(firstResolved).getNameCount + 1,
+      assert(depths.head == depthOf(firstResolved) + 1,
         s"restore not anchored one level under the prior dir: $depths")
       // getCheckpointDir returns a QUALIFIED uri (file:/tmp/...), so
       // containment, not startsWith, against the raw tmp path
