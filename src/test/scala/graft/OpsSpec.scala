@@ -515,6 +515,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CheckpointScope.restore swallows a failing setCheckpointDir " +
+      "(finally-block safety)") {
+    // restore() runs in callers' finally blocks; if re-pointing the
+    // session fails (deleted root, mkdirs refusal) the exception must not
+    // escape and mask the loop's primary error (ADVICE r10). Forced here
+    // with a prev path nested under a plain FILE, which the local
+    // filesystem refuses to mkdirs under.
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "test precondition: shared session must start with no checkpoint dir")
+    val scoped = java.nio.file.Files.createTempDirectory("graft_cp_scoped")
+    val blocker = java.nio.file.Files.createTempFile("graft_cp_blocker", "")
+    try {
+      sc.setCheckpointDir(scoped.toString)
+      val scopedResolved = sc.getCheckpointDir
+      graft.CheckpointScope.restore(sc, Some(s"$blocker/nested"))
+      // the documented degraded outcome: session left at the scoped dir,
+      // observable and recoverable — never a thrown restore failure
+      assert(sc.getCheckpointDir == scopedResolved,
+        "failed restore should leave the scoped dir in place")
+    } finally {
+      sc.setCheckpointDir(null)
+      java.nio.file.Files.deleteIfExists(blocker)
+      graft.Staging.deleteRecursively(scoped)
+    }
+  }
+
   test("asOfJoin hot-key split equals the single-window plan and buckets the window") {
     // key 1 holds 90% of rows — the scenario where the plain as-of join
     // funnels everything through one window task
