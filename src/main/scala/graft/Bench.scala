@@ -35,11 +35,15 @@ object Bench {
     // none of it should be attributed to whichever query runs first
     spark.range(100).count()
     // best-effort: an unreadable sfDir must surface as per-query -1 rows
-    // (the honesty contract), not kill the run before the first query
-    try spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup read failed: $e")
-    }
+    // (the honesty contract), not kill the run before the first query.
+    // Remember the failure: a probe against a bad dir must also not
+    // overwrite the round's full-map artifact below.
+    val warmupOk =
+      try { spark.read.parquet(s"$sfDir/region.parquet").limit(1).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup read failed: $e")
+        false
+      }
     // SPARK_GRAFT_ONLY=q31,q32 — iterate on a subset without paying the
     // full-suite wall-clock; the driver never sets it (full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -135,10 +139,12 @@ object Bench {
     val json = s"""{$totals,"queries":$qs,"errors":$errs,"runs":$allRuns}"""
     println(s"""{$totals,"queries":$qs,"errors":$errs}""")
     try {
-      // subset runs (SPARK_GRAFT_ONLY) default to a different file so an
-      // ad-hoc probe never clobbers the round's full-map artifact
+      // subset runs (SPARK_GRAFT_ONLY) and failure probes (unreadable
+      // sfDir) default to different files so an ad-hoc probe never
+      // clobbers the round's full-map artifact
       val defaultOut =
         if (only.isDefined) "target/bench_subset.json"
+        else if (!warmupOk) "target/bench_probe.json"
         else "target/bench_out.json"
       val outPath = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
