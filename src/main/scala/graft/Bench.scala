@@ -135,19 +135,25 @@ object Bench {
     // n_queries makes a SPARK_GRAFT_ONLY subset run self-describing: a
     // totals line with n_queries far below the registry size is a probe,
     // not a full-suite total.
-    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir""""
+    // Subset runs (SPARK_GRAFT_ONLY) and failure probes default to
+    // different files so an ad-hoc probe never clobbers the round's
+    // full-map artifact. Probe routing keys on the actual run OUTCOME
+    // (warmup failed AND every query failed — the unreadable-sfDir
+    // signature), not the warmup read alone: a transient warmup failure
+    // on a genuine full run (all queries green) must still land in
+    // bench_out.json (ADVICE r11). The chosen path rides in the totals
+    // line ("out") so the driver can detect any diversion from stdout.
+    val defaultOut =
+      if (only.isDefined) "target/bench_subset.json"
+      else if (!warmupOk && results.nonEmpty && nFailed == results.size)
+        "target/bench_probe.json"
+      else "target/bench_out.json"
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
+    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir","out":"$outPath""""
     val json = s"""{$totals,"queries":$qs,"errors":$errs,"runs":$allRuns}"""
     println(s"""{$totals,"queries":$qs,"errors":$errs}""")
     try {
-      // subset runs (SPARK_GRAFT_ONLY) and failure probes (unreadable
-      // sfDir) default to different files so an ad-hoc probe never
-      // clobbers the round's full-map artifact
-      val defaultOut =
-        if (only.isDefined) "target/bench_subset.json"
-        else if (!warmupOk) "target/bench_probe.json"
-        else "target/bench_out.json"
-      val outPath = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
       Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(outPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

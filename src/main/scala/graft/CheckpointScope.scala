@@ -36,8 +36,20 @@ private[graft] object CheckpointScope {
     * from `sc.getCheckpointDir` before the override). None restores the
     * unset state exactly; Some(p) restores to p's recorded ROOT when p
     * was itself produced by an earlier restore, else to p itself (the
-    * one unavoidable extra level for an externally-set dir). */
-  def restore(sc: SparkContext, prev: Option[String]): Unit =
+    * one unavoidable extra level for an externally-set dir).
+    *
+    * Failure contract (ADVICE r10/r11): `primary` carries the scoped
+    * work's own exception when the caller is already propagating one.
+    * A restore failure (pinned root deleted, mkdirs refused) then must
+    * not REPLACE it — it is attached via `addSuppressed` and swallowed,
+    * so the loop's error stays the one the caller sees with the restore
+    * failure preserved on its suppressed list. When the scoped work
+    * SUCCEEDED (`primary` empty) the restore failure is rethrown:
+    * silently leaving the session at the scoped dir — which callers are
+    * documented as free to delete — would point later checkpoint users
+    * at a dangling dir with only a stderr line as evidence. */
+  def restore(sc: SparkContext, prev: Option[String],
+              primary: Option[Throwable] = None): Unit =
     try prev match {
       case None => sc.setCheckpointDir(null)
       case Some(p) =>
@@ -45,13 +57,13 @@ private[graft] object CheckpointScope {
         sc.setCheckpointDir(root)
         sc.getCheckpointDir.foreach(resolved => rootOf.put(resolved, root))
     } catch {
-      // Called from callers' finally blocks: a restore failure (pinned
-      // root deleted, mkdirs refused) must not replace the loop's primary
-      // exception. The session is left pointed at the scoped dir — wrong
-      // but observable; the caller's own work already completed (ADVICE
-      // r10).
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(
-          s"[graft] checkpoint-dir restore failed (session left at the scoped dir): $e")
+      case scala.util.control.NonFatal(e) => primary match {
+        case Some(t) =>
+          t.addSuppressed(e)
+          System.err.println(
+            s"[graft] checkpoint-dir restore failed (suppressed into the " +
+              s"primary exception; session left at the scoped dir): $e")
+        case None => throw e
+      }
     }
 }

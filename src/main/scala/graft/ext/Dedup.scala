@@ -364,14 +364,20 @@ object Dedup {
     val sc = edges.sparkSession.sparkContext
     val prevCp = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
+    // Track the loop's own exception so the restore can distinguish its
+    // two failure contracts (CheckpointScope Scaladoc): suppress-into-
+    // primary when one is in flight, rethrow when the loop succeeded.
+    var primary: Throwable = null
     try algorithm match {
       case "minlabel" => ccMinLabel(edges, a, b, maxIter, checkpointDir.isDefined)
       case "star"     => ccLargeSmallStar(edges, a, b, maxIter, checkpointDir.isDefined)
       case other => throw new IllegalArgumentException(
         s"connectedComponents: unknown algorithm '$other' " +
           "(expected 'minlabel' or 'star')")
+    } catch { case t: Throwable =>
+      primary = t; throw t
     } finally if (checkpointDir.isDefined)
-      graft.CheckpointScope.restore(sc, prevCp)
+      graft.CheckpointScope.restore(sc, prevCp, Option(primary))
   }
 
   /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s

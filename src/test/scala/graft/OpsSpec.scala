@@ -515,11 +515,12 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("CheckpointScope.restore swallows a failing setCheckpointDir " +
-      "(finally-block safety)") {
-    // restore() runs in callers' finally blocks; if re-pointing the
-    // session fails (deleted root, mkdirs refusal) the exception must not
-    // escape and mask the loop's primary error (ADVICE r10). Forced here
+  test("CheckpointScope.restore suppresses its failure into a pending " +
+      "primary exception (finally-block safety)") {
+    // restore() runs in callers' finally blocks; when the loop's own
+    // exception is already propagating, a restore failure (deleted root,
+    // mkdirs refusal) must not escape and REPLACE it — it lands on the
+    // primary's suppressed list instead (ADVICE r10/r11). Forced here
     // with a prev path nested under a plain FILE, which the local
     // filesystem refuses to mkdirs under.
     val sc = spark.sparkContext
@@ -530,11 +531,46 @@ class OpsSpec extends AnyFunSuite {
     try {
       sc.setCheckpointDir(scoped.toString)
       val scopedResolved = sc.getCheckpointDir
-      graft.CheckpointScope.restore(sc, Some(s"$blocker/nested"))
-      // the documented degraded outcome: session left at the scoped dir,
-      // observable and recoverable — never a thrown restore failure
-      assert(sc.getCheckpointDir == scopedResolved,
-        "failed restore should leave the scoped dir in place")
+      val primary = new RuntimeException("loop's own failure")
+      graft.CheckpointScope.restore(sc, Some(s"$blocker/nested"),
+        Some(primary)) // must not throw — primary is in flight
+      assert(primary.getSuppressed.nonEmpty,
+        "restore failure should be preserved on the primary's suppressed list")
+      // Post-state loosened (ADVICE r11): whether checkpointDir stays at
+      // the scoped resolved dir or comes back unset after a failing
+      // setCheckpointDir is a Spark implementation detail, not a
+      // contract. The safety property is only that nothing escaped and
+      // the session is in one of the two observable states.
+      assert(sc.getCheckpointDir == scopedResolved
+          || sc.getCheckpointDir.isEmpty,
+        s"unexpected post-failure checkpoint dir: ${sc.getCheckpointDir}")
+    } finally {
+      sc.setCheckpointDir(null)
+      java.nio.file.Files.deleteIfExists(blocker)
+      graft.Staging.deleteRecursively(scoped)
+    }
+  }
+
+  test("CheckpointScope.restore rethrows its failure when the scoped work " +
+      "succeeded (no silent dangling dir)") {
+    // With no primary exception in flight there is nothing to mask:
+    // swallowing would leave the session silently pointed at a scoped
+    // dir the caller may delete, with only a stderr line as evidence
+    // (ADVICE r11). The failure must surface to the caller.
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "test precondition: shared session must start with no checkpoint dir")
+    val scoped = java.nio.file.Files.createTempDirectory("graft_cp_scoped2")
+    val blocker = java.nio.file.Files.createTempFile("graft_cp_blocker2", "")
+    try {
+      sc.setCheckpointDir(scoped.toString)
+      val scopedResolved = sc.getCheckpointDir
+      intercept[Exception] {
+        graft.CheckpointScope.restore(sc, Some(s"$blocker/nested"))
+      }
+      assert(sc.getCheckpointDir == scopedResolved
+          || sc.getCheckpointDir.isEmpty,
+        s"unexpected post-failure checkpoint dir: ${sc.getCheckpointDir}")
     } finally {
       sc.setCheckpointDir(null)
       java.nio.file.Files.deleteIfExists(blocker)
