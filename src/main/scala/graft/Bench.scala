@@ -54,6 +54,17 @@ object Bench {
       // Locale.ROOT: a comma-decimal default locale would break the
       // one-JSON-line contract
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Env-controlled strings (sfDir, the bench-out path) ride in the
+    // hand-built JSON lines; a quote, backslash, or control char in one
+    // would corrupt both the stdout line and the durable file (ADVICE
+    // r12). Query names and error CLASS names are identifier-safe by
+    // construction and stay unescaped.
+    def jsonStr(s: String): String = s.flatMap {
+      case '\\'             => "\\\\"
+      case '"'              => "\\\""
+      case c if c < ' '     => f"\\u${c.toInt}%04x"
+      case c                => c.toString
+    }
     // Timing protocol (documented in BASELINE.md): single-run timings on a
     // shared machine swing far beyond the plan cost — GC pauses and
     // JIT/codegen warmup land on whichever query runs first. Each query
@@ -150,7 +161,7 @@ object Bench {
       else "target/bench_out.json"
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
-    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"$sfDir","out":"$outPath""""
+    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"${jsonStr(sfDir)}","out":"${jsonStr(outPath.toString)}""""
     val json = s"""{$totals,"queries":$qs,"errors":$errs,"runs":$allRuns}"""
     println(s"""{$totals,"queries":$qs,"errors":$errs}""")
     try {

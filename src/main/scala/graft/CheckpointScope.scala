@@ -47,7 +47,14 @@ private[graft] object CheckpointScope {
     * SUCCEEDED (`primary` empty) the restore failure is rethrown:
     * silently leaving the session at the scoped dir — which callers are
     * documented as free to delete — would point later checkpoint users
-    * at a dangling dir with only a stderr line as evidence. */
+    * at a dangling dir with only a stderr line as evidence.
+    *
+    * Known limitation (ADVICE r12): `addSuppressed` is a silent no-op
+    * when the primary was constructed with suppression DISABLED
+    * (`enableSuppression = false`, used by some framework exceptions) —
+    * in that rare case the restore failure survives only as the stderr
+    * line. Accepted: the callers here propagate ordinary loop/Spark
+    * exceptions, which keep suppression enabled. */
   def restore(sc: SparkContext, prev: Option[String],
               primary: Option[Throwable] = None): Unit =
     try prev match {

@@ -342,7 +342,11 @@ object Dedup {
     * persist would otherwise force recomputing the round's lineage from
     * its (already-unpersisted) parent. The default (None, in-memory
     * persist only) is right for the local sandbox; checkpoint files
-    * accumulate under the dir until it is deleted by the caller.
+    * accumulate under the dir until it is deleted by the caller. If the
+    * loop succeeds but the post-loop checkpoint-dir restore fails, the
+    * restore error propagates (the CheckpointScope contract) and the
+    * would-be result's cached blocks are released first — the caller
+    * gets an exception, never a leaked persist (ADVICE r12).
     *
     * Returns (id, label) for every node that appears in an edge, label
     * = min id of the component; a silent non-converged return would
@@ -368,16 +372,33 @@ object Dedup {
     // two failure contracts (CheckpointScope Scaladoc): suppress-into-
     // primary when one is in flight, rethrow when the loop succeeded.
     var primary: Throwable = null
-    try algorithm match {
-      case "minlabel" => ccMinLabel(edges, a, b, maxIter, checkpointDir.isDefined)
-      case "star"     => ccLargeSmallStar(edges, a, b, maxIter, checkpointDir.isDefined)
-      case other => throw new IllegalArgumentException(
-        s"connectedComponents: unknown algorithm '$other' " +
-          "(expected 'minlabel' or 'star')")
+    var release: () => Unit = () => ()
+    try {
+      val (labels, rel) = algorithm match {
+        case "minlabel" => ccMinLabel(edges, a, b, maxIter, checkpointDir.isDefined)
+        case "star"     => ccLargeSmallStar(edges, a, b, maxIter, checkpointDir.isDefined)
+        case other => throw new IllegalArgumentException(
+          s"connectedComponents: unknown algorithm '$other' " +
+            "(expected 'minlabel' or 'star')")
+      }
+      release = rel
+      labels
     } catch { case t: Throwable =>
       primary = t; throw t
-    } finally if (checkpointDir.isDefined)
-      graft.CheckpointScope.restore(sc, prevCp, Option(primary))
+    } finally if (checkpointDir.isDefined) {
+      try graft.CheckpointScope.restore(sc, prevCp, Option(primary))
+      catch { case t: Throwable =>
+        // restore() rethrows only on the success path (primary == null),
+        // so the computed result — deliberately left persisted for a
+        // caller that now never receives a handle — would leak its
+        // cached blocks for the session's lifetime (ADVICE r12).
+        // Release them before the restore failure propagates; the
+        // checkpoint FILES under the caller's dir remain theirs to
+        // delete regardless (documented above).
+        try release() catch { case u: Throwable => t.addSuppressed(u) }
+        throw t
+      }
+    }
   }
 
   /** Persist (and, with a checkpoint dir, reliably checkpoint) `df`'s
@@ -396,8 +417,12 @@ object Dedup {
     (df.sparkSession.createDataFrame(r, df.schema), r)
   }
 
+  /** Returns the label frame plus a release thunk that unpersists its
+    * backing blocks — used only on the success-path restore-failure
+    * branch above, where the frame is about to be discarded. */
   private def ccMinLabel(edges: DataFrame, a: String, b: String,
-                         maxIter: Int, useCp: Boolean): DataFrame = {
+                         maxIter: Int, useCp: Boolean)
+      : (DataFrame, () => Unit) = {
     val spark = edges.sparkSession
     val sym = RelationalOps.materialized(
       edges.select(col(a).as("src"), col(b).as("dst"))
@@ -444,7 +469,7 @@ object Dedup {
     // switch to algorithm = "star")
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    (labels, () => labelsRdd.unpersist(blocking = false))
   }
 
   /** Large-star/small-star contraction. Each round:
@@ -469,7 +494,8 @@ object Dedup {
     * min-label's 2 + 1, which is why it is the flagged fallback rather
     * than the default. */
   private def ccLargeSmallStar(edges: DataFrame, a: String, b: String,
-                               maxIter: Int, useCp: Boolean): DataFrame = {
+                               maxIter: Int, useCp: Boolean)
+      : (DataFrame, () => Unit) = {
     val spark = edges.sparkSession
     // every node that appears in any edge must come out labeled, and the
     // contraction ends with only (child, root) edges — remember the node
@@ -546,6 +572,6 @@ object Dedup {
         .select(col("id"), coalesce(col("__root"), col("id")).as("label")))
     eRdd.unpersist(blocking = false)
     nodesRdd.unpersist(blocking = false)
-    labels
+    (labels, () => { labels.unpersist(blocking = false); () })
   }
 }

@@ -578,6 +578,54 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents releases the computed result's blocks when a " +
+      "success-path restore failure discards it") {
+    // restore() rethrows when the loop SUCCEEDED; the result frame —
+    // deliberately left persisted for the caller — then never reaches a
+    // caller, so its cached blocks would leak for the session's lifetime
+    // (ADVICE r12). Forced by making the pre-CC session checkpoint dir
+    // unrestorable: capture its resolved path, then replace that dir
+    // with a plain FILE so restore's setCheckpointDir cannot mkdirs
+    // under it.
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty,
+      "test precondition: shared session must start with no checkpoint dir")
+    val userRoot = java.nio.file.Files.createTempDirectory("graft_cc_user_cp2")
+    val ccDir = java.nio.file.Files.createTempDirectory("graft_cc_loop_cp2")
+    try {
+      for (algo <- Seq("minlabel", "star")) {
+        sc.setCheckpointDir(userRoot.toString)
+        val resolved = java.nio.file.Paths.get(
+          new java.net.URI(sc.getCheckpointDir.get).getPath)
+        java.nio.file.Files.delete(resolved)      // fresh uuid dir, empty
+        java.nio.file.Files.createFile(resolved)  // now a plain file
+        // start from a clean cache slate so the post-state assertions
+        // are exact (recompute-on-use keeps this safe for other tests)
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+        intercept[Exception] {
+          graft.ext.Dedup.connectedComponents(edges, "a", "b",
+            checkpointDir = Some(ccDir.toString), algorithm = algo)
+        }
+        // the loop itself converged; the surfaced failure is the restore,
+        // and the discarded result's blocks must have been released —
+        // no persisted RDDs and no cached plans may remain
+        assert(sc.getPersistentRDDs.isEmpty,
+          s"$algo: discarded CC result leaked persisted RDD blocks: " +
+            s"${sc.getPersistentRDDs.keySet}")
+        assert(spark.sharedState.cacheManager.isEmpty,
+          s"$algo: discarded CC result leaked a cached plan")
+        java.nio.file.Files.delete(resolved)      // reset for next algo
+        sc.setCheckpointDir(null)
+      }
+    } finally {
+      sc.setCheckpointDir(null)
+      graft.Staging.deleteRecursively(userRoot)
+      graft.Staging.deleteRecursively(ccDir)
+    }
+  }
+
   test("asOfJoin hot-key split equals the single-window plan and buckets the window") {
     // key 1 holds 90% of rows — the scenario where the plain as-of join
     // funnels everything through one window task
