@@ -59,12 +59,7 @@ object Bench {
     // would corrupt both the stdout line and the durable file (ADVICE
     // r12). Query names and error CLASS names are identifier-safe by
     // construction and stay unescaped.
-    def jsonStr(s: String): String = s.flatMap {
-      case '\\'             => "\\\\"
-      case '"'              => "\\\""
-      case c if c < ' '     => f"\\u${c.toInt}%04x"
-      case c                => c.toString
-    }
+    def jsonStr(s: String): String = JsonEscape.str(s)
     // Timing protocol (documented in BASELINE.md): single-run timings on a
     // shared machine swing far beyond the plan cost — GC pauses and
     // JIT/codegen warmup land on whichever query runs first. Each query

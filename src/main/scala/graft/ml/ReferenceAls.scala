@@ -41,7 +41,9 @@ object ReferenceAls {
       ranks = Seq(20, 30), regParams = Seq(0.1, 0.01), maxIter = 20)
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    println(s"""{"best_rank":${r.bestRank},"best_reg_param":${r.bestRegParam},"rmse":${fmt(r.rmse)},"r2":${fmt(r.r2)},"grid":"rank{20,30} x reg{0.1,0.01}, maxIter=20, trainRatio=0.8","sf":"$sfDir"}""")
+    // sfDir is args/env-controlled — escape it like every other such
+    // string in a hand-built JSON line (ADVICE r12; graft.JsonEscape)
+    println(s"""{"best_rank":${r.bestRank},"best_reg_param":${r.bestRegParam},"rmse":${fmt(r.rmse)},"r2":${fmt(r.r2)},"grid":"rank{20,30} x reg{0.1,0.01}, maxIter=20, trainRatio=0.8","sf":"${graft.JsonEscape.str(sfDir)}"}""")
     spark.stop()
   }
 }

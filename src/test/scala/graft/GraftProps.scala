@@ -216,6 +216,20 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  // Not a Spark job — pure string round-trip. Jackson (on the Spark
+  // classpath) is the independent reader standing in for the driver's
+  // json.load; lone surrogates are excluded from the generator because
+  // they are unrepresentable in any UTF-8 artifact to begin with.
+  property("JsonEscape: quoted escape round-trips through a JSON parser") =
+    forAll(Gen.listOf(Gen.frequency(
+      3 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('"', '\\', '\n', '\r', '\t'),
+      1 -> Gen.choose(0.toChar, 0x1f.toChar),
+      1 -> Gen.choose(0x20.toChar, 0xd7ff.toChar))).map(_.mkString)) { s =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readValue("\"" + JsonEscape.str(s) + "\"", classOf[String]) == s
+    }
+
   property("zipWithRank: ids are 1..n in sorted order") =
     forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
       val xs = raw.distinct
