@@ -220,12 +220,19 @@ object GraftProps extends Properties("graft") {
   // classpath) is the independent reader standing in for the driver's
   // json.load; lone surrogates are excluded from the generator because
   // they are unrepresentable in any UTF-8 artifact to begin with.
+  // Paired surrogates ARE covered: the astral arm emits whole code
+  // points 0x10000–0x10FFFF via Character.toChars, and the upper-BMP
+  // arm covers 0xe000–0xfffd, so the full pass-through range of
+  // JsonEscape is exercised (not just chars below the surrogate gap).
   property("JsonEscape: quoted escape round-trips through a JSON parser") =
     forAll(Gen.listOf(Gen.frequency(
-      3 -> Gen.asciiPrintableChar,
-      2 -> Gen.oneOf('"', '\\', '\n', '\r', '\t'),
-      1 -> Gen.choose(0.toChar, 0x1f.toChar),
-      1 -> Gen.choose(0x20.toChar, 0xd7ff.toChar))).map(_.mkString)) { s =>
+      3 -> Gen.asciiPrintableChar.map(_.toString),
+      2 -> Gen.oneOf('"', '\\', '\n', '\r', '\t').map(_.toString),
+      1 -> Gen.choose(0.toChar, 0x1f.toChar).map(_.toString),
+      1 -> Gen.choose(0x20.toChar, 0xd7ff.toChar).map(_.toString),
+      1 -> Gen.choose(0xe000.toChar, 0xfffd.toChar).map(_.toString),
+      1 -> Gen.choose(0x10000, 0x10ffff)
+        .map(cp => new String(Character.toChars(cp))))).map(_.mkString)) { s =>
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       mapper.readValue("\"" + JsonEscape.str(s) + "\"", classOf[String]) == s
     }
