@@ -28,17 +28,33 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read
-    * the nanos as a plain long (`nanosAsLong` legacy conf — runtime
-    * session conf, safe to set here) and rebuild a micros timestamp with
-    * integer division: `ts div 1000` stays in long arithmetic, so no
-    * double-mantissa precision loss at ~1e18 nanos. */
+  /** Schema-adaptive events loader. Older fixture generations store `ts`
+    * as parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+    * timestamp (PARQUET_TYPE_ILLEGAL): read the nanos as a plain long
+    * (`nanosAsLong` legacy conf — runtime session conf, safe to set here)
+    * and rebuild a micros timestamp with integer division — `ts div 1000`
+    * stays in long arithmetic, so no double-mantissa precision loss at
+    * ~1e18 nanos. Newer generations store `ts` as TIMESTAMP(MICROS)
+    * without timezone, which Spark reads natively as TIMESTAMP_NTZ —
+    * cast it to the session-timezone TIMESTAMP the rest of the engine
+    * (and the r1–r13 oracle history) expects: every entry point pins
+    * `spark.sql.session.timeZone=UTC`, so the cast is a deterministic
+    * relabel, and downstream numeric casts (e.g. the as-of hot-key
+    * splitter's percentile over the time column) stay legal. Branching
+    * on the observed footer type keeps one loader working across both
+    * generations (same adaptivity as `StreamingWindows.eventsStream`). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -152,9 +152,10 @@ object WindowQueries {
         val e = Tables.events(s, d)
         // no equi key on purpose — this is the pure interval-overlap case
         // (cross-user attribution window). Times at second granularity so
-        // both engines compare identical integers (events.parquet carries
-        // nanos; Spark truncates to micros, DuckDB keeps ns — flooring to
-        // epoch seconds removes the cross-engine sub-second skew).
+        // both engines compare identical integers (nanos-era fixtures:
+        // Spark truncates to micros while DuckDB keeps ns — flooring to
+        // epoch seconds removes any cross-engine sub-second skew; a
+        // no-op relabel on the current micros fixtures).
         val clicks = e.filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"),
             unix_timestamp(col("ts")).as("c_sec"))

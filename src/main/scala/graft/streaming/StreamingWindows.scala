@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** Structured Streaming wrappers for the batch window queries
   * (SURVEY.md §2.8): the same `window($"ts", ...)` expressions run under
@@ -46,18 +46,28 @@ object StreamingWindows {
     * (SURVEY.md §2.8's "custom state" extension). */
   final case class UserStat(user_id: Long, n_events: Long, last_epoch: Long)
 
-  /** Streaming events source. The fixture stores `ts` as parquet
-    * TIMESTAMP(NANOS) (see [[graft.Tables.events]]): pass a schema with
-    * `ts: long` and the nanos are rebuilt into a micros timestamp here —
-    * same integer-division conversion as the batch loader. */
+  /** Streaming events source, schema-adaptive across fixture
+    * generations (see [[graft.Tables.events]]): older fixtures store
+    * `ts` as parquet TIMESTAMP(NANOS) — pass a schema with `ts: long`
+    * (under `nanosAsLong`) and the nanos are rebuilt into a micros
+    * timestamp by integer division; newer fixtures store
+    * TIMESTAMP(MICROS) without timezone — relabeled into the
+    * UTC-pinned session timestamp. */
   private def eventsStream(spark: SparkSession, dir: String,
                            schema: StructType) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // newer fixture generations: naive micros — relabel into the
+        // session-timezone (UTC-pinned) timestamp the wrappers expect,
+        // mirroring the batch loader graft.Tables.events
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Closed session emitted by [[sessionizeStream]]: [s_start, s_last]
