@@ -677,4 +677,34 @@ class OpsSpec extends AnyFunSuite {
     val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked2.isEmpty, s"frequencyIndex left persisted RDDs: $leaked2")
   }
+
+  test("Tables.events normalizes ts across fixture generations (NTZ and long-nanos)") {
+    // The round-14 breakage class: the driver regenerated the fixtures
+    // with events.ts as naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
+    // where earlier generations carried TIMESTAMP(NANOS) (read as long
+    // under nanosAsLong), and the loader's unconditional nanos rebuild
+    // failed analysis on 12 queries. Pin BOTH branches: whatever the
+    // on-disk generation, the loader must yield a session-timezone
+    // TimestampType with identical instant values.
+    import org.apache.spark.sql.types.TimestampType
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, s"$sf fixture not present")
+    val native = Tables.events(spark, sf)
+    assert(native.schema("ts").dataType == TimestampType,
+      s"native load must normalize to TimestampType, got ${native.schema("ts").dataType}")
+    // stage a legacy-generation copy: ts as a plain long of epoch nanos —
+    // the shape the nanosAsLong read path produces from TIMESTAMP(NANOS)
+    val legacyDir = TestSpark.tempDir("events_legacy_")
+    native.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+    val legacy = Tables.events(spark, legacyDir.toString)
+    assert(legacy.schema("ts").dataType == TimestampType,
+      s"legacy load must rebuild TimestampType, got ${legacy.schema("ts").dataType}")
+    val nativeRows = native.select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sorted
+    val legacyRows = legacy.select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sorted
+    assert(nativeRows.sameElements(legacyRows),
+      "instant values must be identical across fixture generations")
+  }
 }
