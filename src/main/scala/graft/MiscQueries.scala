@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.linalg.{Matrix => MlMatrix}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.CleaningOps
+import graft.ops.{CleaningOps, RelationalOps}
 import graft.sources.Sources
 
 /** Inventory-closing queries: CSV roundtrip (S1/S2), seeded random row
@@ -12,6 +12,15 @@ import graft.sources.Sources
   * sanitization (P12).
   */
 object MiscQueries {
+
+  /** DuckDB operator form of [[RelationalOps.zOrderKey]]'s bit layout
+    * (x in even bits, y in odd) — the oracle must derive every zkey bit
+    * independently, so the interleave lives here as plain `>> & <<`
+    * arithmetic rather than being copied from the Spark plan. */
+  private def mortonSqlDuck(rx: String, ry: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($rx >> $i) & 1) << ${2 * i})",
+      s"((($ry >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
 
   /** Explicit schema for the CSV roundtrip read-back (production S1 path:
     * one pass, no inference job). */
@@ -435,6 +444,61 @@ object MiscQueries {
              |  AND l_shipdate < TIMESTAMP '1995-04-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "range-clustered write (repartitionByRange + sortWithinPartitions) then a date-filtered read: non-overlapping per-file min/max stats turn the filter into file/row-group skipping — the layout lever for ordered high-cardinality keys where hive partitioning (q63) would shatter"),
+
+    // ---- z-order (Morton) clustering -------------------------------------
+    GQuery("q89_zorder_cluster",
+      (s, d) => {
+        val tmp = Staging.dir("zorder", d)
+        // Two-column layout lever, completing the family: hive
+        // partitioning (q63) for low-cardinality keys, 1-D range
+        // clustering (q70) for ONE ordered key, z-order for predicates
+        // on EITHER of two keys. Ranks are equal-width (driver-free: the
+        // min/max aggregate is a broadcast 1-row join, no quantile sort
+        // over the fact), the Morton key is a static codegen'd bit
+        // expression, and the write is repartitionByRange(zkey) +
+        // sortWithinPartitions — every file then bounds BOTH user_id and
+        // cents in its footer stats, so either predicate skips files
+        // (1-D clustering leaves the second column's per-file range at
+        // ~full width; measured in OpsSpec). The per-zbucket aggregate
+        // read back pins every zkey bit: one wrong interleave lands a
+        // row in the wrong bucket's count AND sum.
+        val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+          expr("cast(round(value * 100, 0) as long)").as("cents"))
+        val mm = ev.agg(min("user_id").as("u_min"), max("user_id").as("u_max"),
+          min("cents").as("c_min"), max("cents").as("c_max"))
+        ev.crossJoin(broadcast(mm))
+          .withColumn("zkey", RelationalOps.zOrderKey(
+            RelationalOps.equalWidthRank(col("user_id"), col("u_min"),
+              col("u_max"), 8),
+            RelationalOps.equalWidthRank(col("cents"), col("c_min"),
+              col("c_max"), 8), 8))
+          .select("event_id", "user_id", "cents", "zkey")
+          .repartitionByRange(8, col("zkey"))
+          .sortWithinPartitions("zkey")
+          .write.mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp)
+          .groupBy(shiftright(col("zkey"), 10).as("zbucket"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          .orderBy("zbucket")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events
+             |), mm AS (
+             |  SELECT min(user_id) AS u_min, max(user_id) AS u_max,
+             |         min(cents) AS c_min, max(cents) AS c_max FROM ev
+             |), ranked AS (
+             |  SELECT cents,
+             |    ((user_id - u_min) * 255) // greatest(u_max - u_min, 1) AS rx,
+             |    ((cents - c_min) * 255) // greatest(c_max - c_min, 1) AS ry
+             |  FROM ev, mm
+             |)
+             |SELECT (${mortonSqlDuck("rx", "ry", 8)}) >> 10 AS zbucket,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "z-order (Morton) clustered write over (user_id, cents): equal-width ranks → codegen'd bit-interleave key → repartitionByRange + sortWithinPartitions; every file bounds BOTH dimensions in its footer stats so predicates on either column prune — the multi-column layout lever next to hive partitioning (q63) and 1-D range clustering (q70); per-zbucket count+sum oracle pins every interleaved bit"),
 
     // ---- EXCEPT / INTERSECT (set-op completeness) ------------------------
     GQuery("q82_except_intersect",

@@ -19,16 +19,15 @@ object StreamDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val q = mode match {
-      case "tumbling"   => StreamingWindows.runTumblingStream(spark, sfDir, schema, "demo")
-      case "userstats"  => StreamingWindows.userStatsStream(spark, sfDir, schema, "demo")
-      case "sessionize" => StreamingWindows.sessionizeStream(spark, sfDir, schema, "demo")
+      case "tumbling"   => StreamingWindows.runTumblingStream(spark, sfDir, "demo")
+      case "userstats"  => StreamingWindows.userStatsStream(spark, sfDir, "demo")
+      case "sessionize" => StreamingWindows.sessionizeStream(spark, sfDir, "demo")
       case "enrich" =>
         import org.apache.spark.sql.functions._
         val dim = Tables.events(spark, sfDir).groupBy("user_id")
           .agg(count(lit(1)).as("hist_n"))
-        StreamingWindows.enrichStream(spark, sfDir, schema, dim, "demo")
+        StreamingWindows.enrichStream(spark, sfDir, dim, "demo")
       case other =>
         sys.error(s"unknown mode '$other' — expected one of: " +
           "tumbling, userstats, sessionize, enrich")

@@ -30,30 +30,56 @@ object Tables {
 
   /** Schema-adaptive events loader. Older fixture generations store `ts`
     * as parquet TIMESTAMP(NANOS), which Spark 4 refuses to read as a
-    * timestamp (PARQUET_TYPE_ILLEGAL): read the nanos as a plain long
-    * (`nanosAsLong` legacy conf — runtime session conf, safe to set here)
-    * and rebuild a micros timestamp with integer division — `ts div 1000`
-    * stays in long arithmetic, so no double-mantissa precision loss at
-    * ~1e18 nanos. Newer generations store `ts` as TIMESTAMP(MICROS)
-    * without timezone, which Spark reads natively as TIMESTAMP_NTZ —
-    * cast it to the session-timezone TIMESTAMP the rest of the engine
-    * (and the r1–r13 oracle history) expects: every entry point pins
-    * `spark.sql.session.timeZone=UTC`, so the cast is a deterministic
-    * relabel, and downstream numeric casts (e.g. the as-of hot-key
-    * splitter's percentile over the time column) stay legal. Branching
-    * on the observed footer type keeps one loader working across both
-    * generations (same adaptivity as `StreamingWindows.eventsStream`). */
+    * timestamp (PARQUET_TYPE_ILLEGAL); newer generations store naive
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Branching on the observed
+    * footer type keeps one loader working across both generations — the
+    * shared rebuild lives in [[normalizeEventsTs]], which
+    * `StreamingWindows.eventsStream` reuses verbatim. */
   def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(table(s, d, "events"))
+  }
+
+  /** The raw footer schema of `$dir/events.parquet` as Spark observes it
+    * under the `nanosAsLong` legacy conf — what a streaming reader must
+    * be handed (file stream sources require an explicit schema), derived
+    * from the SAME directory that will be streamed so the two can never
+    * disagree across fixture generations. */
+  private[graft] def eventsRawSchema(s: SparkSession,
+                                     d: String): org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").schema
+  }
+
+  /** Normalize the observed `ts` shape to a plain TimestampType of the
+    * same instants, shared by the batch loader ([[events]]) and the
+    * streaming source (`StreamingWindows.eventsStream`):
+    *
+    *   - `LongType` (TIMESTAMP(NANOS) footer read under `nanosAsLong`):
+    *     rebuild a micros timestamp with integer division — `ts div 1000`
+    *     stays in long arithmetic, so no double-mantissa precision loss
+    *     at ~1e18 nanos.
+    *   - `TimestampNTZType` (naive TIMESTAMP(MICROS) footer): the wall
+    *     clock IS the UTC instant. Rebuilt via field extraction +
+    *     `make_timestamp(..., 'UTC')` — every extraction is tz-free on
+    *     NTZ and the zone is explicit, so the result is independent of
+    *     `spark.sql.session.timeZone` (a bare `cast("timestamp")` is
+    *     value-identical only under the engine's UTC session pin and
+    *     would silently shift instants by the host offset in an entry
+    *     point that forgot it). `date_part('SECOND', ts)` is
+    *     DECIMAL(8,6): the micros fraction survives exactly.
+    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+    df.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+        df.withColumn("ts", expr(
+          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), " +
+            "minute(ts), date_part('SECOND', ts), 'UTC')"))
+      case _ => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

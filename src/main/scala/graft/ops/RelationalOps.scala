@@ -340,4 +340,36 @@ object RelationalOps {
     val w = Window.partitionBy(part: _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Morton (z-order) key: bit-interleave of two pre-quantized ranks in
+    * [0, 2^bits). The multi-dimensional layout lever next to q70's 1-D
+    * range clustering: files clustered on the z-key bound BOTH source
+    * dimensions per file, so parquet footer min/max stats prune scans for
+    * predicates on EITHER column — at 100 TB the difference between
+    * "filter on the sort key prunes, anything else reads everything" and
+    * two-sided pruning. Built as a static 2·bits-term expression tree of
+    * shift/and/or Column ops — whole-stage-codegen'd, no UDF, no HOF.
+    * (the standard construction open-source lakehouse table formats
+    * apply for multi-column OPTIMIZE / cluster-by). */
+  def zOrderKey(rx: Column, ry: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(rx, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(ry, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Driver-free equal-width quantization of `c` into [0, 2^bits):
+    * `lo`/`hi` are columns (from a broadcast 1-row min/max aggregate, not
+    * a collect). `floor` over the double quotient is exact while the
+    * numerator `(c−lo)·(2^bits−1)` stays under 2^53 — holds for any
+    * 32-bit-range column at bits ≤ 20, asserted nowhere because the
+    * oracle compare would catch a violation as a value mismatch.
+    * Equal-WIDTH (not equal-frequency): rank boundaries depend only on
+    * [min, max], so no global sort / quantile pass over 100 TB is
+    * needed; heavy value skew concentrates ranks, which z-order
+    * tolerates (skewed cells simply span more files). */
+  def equalWidthRank(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    val levels = (1L << bits) - 1
+    floor(((c - lo) * lit(levels)) / greatest(hi - lo, lit(1L))).cast(LongType)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
+
 
 /** Structured Streaming wrappers for the batch window queries
   * (SURVEY.md §2.8): the same `window($"ts", ...)` expressions run under
@@ -31,9 +31,8 @@ object StreamingWindows {
     * (max ts − 2h). (Complete mode would retain every window forever —
     * unbounded state at scale.) */
   def runTumblingStream(spark: SparkSession, dir: String,
-                        schema: StructType,
                         queryName: String): StreamingQuery = {
-    val events = eventsStream(spark, dir, schema)
+    val events = eventsStream(spark, dir)
     val agg = tumblingAgg(events.withWatermark("ts", "2 hours"))
     agg.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
@@ -47,27 +46,17 @@ object StreamingWindows {
   final case class UserStat(user_id: Long, n_events: Long, last_epoch: Long)
 
   /** Streaming events source, schema-adaptive across fixture
-    * generations (see [[graft.Tables.events]]): older fixtures store
-    * `ts` as parquet TIMESTAMP(NANOS) — pass a schema with `ts: long`
-    * (under `nanosAsLong`) and the nanos are rebuilt into a micros
-    * timestamp by integer division; newer fixtures store
-    * TIMESTAMP(MICROS) without timezone — relabeled into the
-    * UTC-pinned session timestamp. */
-  private def eventsStream(spark: SparkSession, dir: String,
-                           schema: StructType) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        // newer fixture generations: naive micros — relabel into the
-        // session-timezone (UTC-pinned) timestamp the wrappers expect,
-        // mirroring the batch loader graft.Tables.events
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    * generations: the read schema is derived from the parquet footer of
+    * the SAME directory being streamed ([[graft.Tables.eventsRawSchema]]),
+    * and the `ts` rebuild is the shared [[graft.Tables.normalizeEventsTs]]
+    * — so the batch loader and this source can never branch differently
+    * for one fixture, and callers cannot hand in a schema from another
+    * generation. */
+  private def eventsStream(spark: SparkSession, dir: String) = {
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Closed session emitted by [[sessionizeStream]]: [s_start, s_last]
@@ -88,11 +77,11 @@ object StreamingWindows {
     * the timeout callback emits the session and clears the state — so
     * state size is bounded by the number of users active within one gap
     * of the watermark, regardless of total history. */
-  def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
+  def sessionizeStream(spark: SparkSession, dir: String,
                        queryName: String,
                        gapSec: Long = 1800L): StreamingQuery = {
     import spark.implicits._
-    val ev = eventsStream(spark, dir, schema)
+    val ev = eventsStream(spark, dir)
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
         round(col("value") * 100, 0).cast("long").as("cents"))
       .withWatermark("ts", "0 seconds")
@@ -141,10 +130,10 @@ object StreamingWindows {
     * side). The static side is planned once per micro-batch; when it is
     * broadcastable the stream never shuffles — the standard shape for
     * enriching a 100 TB/day event stream with reference data. */
-  def enrichStream(spark: SparkSession, dir: String, schema: StructType,
+  def enrichStream(spark: SparkSession, dir: String,
                    staticDim: org.apache.spark.sql.DataFrame,
                    queryName: String): StreamingQuery = {
-    val events = eventsStream(spark, dir, schema)
+    val events = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"))
     val enriched = events.join(broadcast(staticDim), Seq("user_id"), "left")
@@ -165,10 +154,10 @@ object StreamingWindows {
     * after its original is re-emitted — exactly-once dedup inside the
     * horizon, at-least-once beyond it (the standard streaming-ingest
     * contract; a periodic batch dedup compacts the far tail). */
-  def dedupStream(spark: SparkSession, dir: String, schema: StructType,
+  def dedupStream(spark: SparkSession, dir: String,
                   queryName: String,
                   horizon: String = "24 hours"): StreamingQuery = {
-    val hashed = eventsStream(spark, dir, schema)
+    val hashed = eventsStream(spark, dir)
       .select(col("ts"), col("event_id"),
         md5(concat_ws("|", col("user_id"), col("event_type"),
           col("value"))).as("content_hash"))
@@ -196,16 +185,16 @@ object StreamingWindows {
     * included), the watermarked range condition the second. Inner join:
     * matches emit eagerly per micro-batch; no watermark wait on output. */
   def intervalJoinStream(spark: SparkSession, dir: String,
-                         schema: StructType, queryName: String,
+                         queryName: String,
                          deltaSec: Long = 60L): StreamingQuery = {
-    val clicks = eventsStream(spark, dir, schema)
+    val clicks = eventsStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
       .withColumn("__cb", explode(array(
         expr(s"unix_timestamp(c_ts) div $deltaSec"),
         expr(s"unix_timestamp(c_ts) div $deltaSec") - 1)))
-    val views = eventsStream(spark, dir, schema)
+    val views = eventsStream(spark, dir)
       .filter(col("event_type") === "view")
       .select(col("event_id").as("v_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "10 minutes")
@@ -229,8 +218,8 @@ object StreamingWindows {
     * sink without a transactional store. The `batch=<id>` directory
     * names double as a hive partition column on read. */
   def parquetSinkStream(spark: SparkSession, dir: String,
-                        schema: StructType, outDir: String): StreamingQuery = {
-    val events = eventsStream(spark, dir, schema)
+                        outDir: String): StreamingQuery = {
+    val events = eventsStream(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         round(col("value") * 100, 0).cast("long").as("cents"))
     events.writeStream
@@ -247,10 +236,10 @@ object StreamingWindows {
   def writeBatch(batch: DataFrame, outDir: String, batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
 
-  def userStatsStream(spark: SparkSession, dir: String, schema: StructType,
+  def userStatsStream(spark: SparkSession, dir: String,
                       queryName: String): StreamingQuery = {
     import spark.implicits._
-    val events = eventsStream(spark, dir, schema)
+    val events = eventsStream(spark, dir)
       .select(col("user_id").cast("long"),
         unix_timestamp(col("ts")).as("epoch"))
       .as[(Long, Long)]

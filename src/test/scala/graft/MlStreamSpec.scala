@@ -90,8 +90,7 @@ class MlStreamSpec extends AnyFunSuite {
 
   test("tumbling stream (Append + watermark) agrees with batch on closed windows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
-    val q = StreamingWindows.runTumblingStream(spark, Sf, rawSchema,
+    val q = StreamingWindows.runTumblingStream(spark, Sf,
       "tumbling_spec")
     try {
       q.processAllAvailable()
@@ -120,11 +119,51 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tumbling stream adapts to a legacy TIMESTAMP(NANOS) fixture generation") {
+    // The streaming source derives its read schema from the footer of
+    // the directory it streams (Tables.eventsRawSchema) — stage a
+    // genuine NANOS-footer copy (the pre-r14 driver generation, written
+    // via parquet-mr since Spark cannot emit NANOS) and pin that the
+    // stream both starts AND agrees with the batch loader on the same
+    // dir, exercising the nanos branch end-to-end under readStream.
+    import spark.implicits._
+    val nanosDir = TestSpark.tempDir("events_nanos_stream_")
+    val rows = Tables.events(spark, Sf)
+      .select(col("event_id"), expr("unix_micros(ts) * 1000L"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .as[(Long, Long, Long, String, Double, String)].collect()
+      .map { case (id, ns, uid, et, v, p) =>
+        NanosEventsWriter.Row(id, ns, uid, et, v, p) }
+    NanosEventsWriter.write(s"$nanosDir/events.parquet", rows.toIndexedSeq)
+    val q = StreamingWindows.runTumblingStream(spark, nanosDir.toString,
+      "tumbling_nanos_spec")
+    try {
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      var out = spark.table("tumbling_nanos_spec").collect()
+      while (out.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+        out = spark.table("tumbling_nanos_spec").collect()
+      }
+      assert(out.nonEmpty, "nanos-fixture stream emitted no closed windows")
+      val batch = StreamingWindows
+        .tumblingAgg(Tables.events(spark, nanosDir.toString))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      out.foreach { r =>
+        val k = (r.getLong(0), r.getString(1))
+        assert(batch(k) == ((r.getLong(2), r.getLong(3))),
+          s"window $k: stream=(${r.getLong(2)},${r.getLong(3)}) batch=${batch(k)}")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
-    val q = StreamingWindows.sessionizeStream(spark, Sf, rawSchema,
+    val q = StreamingWindows.sessionizeStream(spark, Sf,
       "sessionize_spec")
     try {
       q.processAllAvailable()
@@ -179,10 +218,9 @@ class MlStreamSpec extends AnyFunSuite {
 
   test("stream-static enrichment join matches the batch join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
     val dim = Tables.events(spark, Sf).groupBy("user_id")
       .agg(count(lit(1)).as("hist_n"))
-    val q = StreamingWindows.enrichStream(spark, Sf, rawSchema, dim,
+    val q = StreamingWindows.enrichStream(spark, Sf, dim,
       "enrich_spec")
     try {
       q.processAllAvailable()
@@ -223,8 +261,7 @@ class MlStreamSpec extends AnyFunSuite {
     java.nio.file.Files.move(java.nio.file.Paths.get(part),
       tmpB.resolve("events.parquet"))
     val nTotal = staged.count()
-    val rawSchema = spark.read.parquet(s"$tmpB/events.parquet").schema
-    val q = StreamingWindows.dedupStream(spark, tmpB.toString, rawSchema,
+    val q = StreamingWindows.dedupStream(spark, tmpB.toString,
       "dedup_spec")
     try {
       q.processAllAvailable()
@@ -249,8 +286,7 @@ class MlStreamSpec extends AnyFunSuite {
 
   test("stream-stream interval join matches the batch interval join") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
-    val q = StreamingWindows.intervalJoinStream(spark, Sf, rawSchema,
+    val q = StreamingWindows.intervalJoinStream(spark, Sf,
       "interval_spec", deltaSec = 600L)
     try {
       q.processAllAvailable()
@@ -274,9 +310,8 @@ class MlStreamSpec extends AnyFunSuite {
 
   test("foreachBatch parquet sink: content matches batch, replay is idempotent") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
     val outDir = TestSpark.tempDir("graft_sink_spec").toString
-    val q = StreamingWindows.parquetSinkStream(spark, Sf, rawSchema, outDir)
+    val q = StreamingWindows.parquetSinkStream(spark, Sf, outDir)
     try q.processAllAvailable() finally q.stop()
     def readBack() = spark.read.parquet(outDir)
       .agg(count(lit(1)), sum("cents")).as[(Long, Long)].head()
@@ -296,8 +331,7 @@ class MlStreamSpec extends AnyFunSuite {
 
   test("mapGroupsWithState user stats agree with batch counts") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$Sf/events.parquet").schema
-    val q = StreamingWindows.userStatsStream(spark, Sf, rawSchema,
+    val q = StreamingWindows.userStatsStream(spark, Sf,
       "userstats_spec")
     try {
       q.processAllAvailable()

@@ -163,6 +163,61 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zOrderKey bit-interleave is exact; clustered files bound BOTH dimensions") {
+    // 1) exhaustive 8-bit equality against a scalar reference Morton
+    def refMorton(rx: Long, ry: Long): Long =
+      (0 until 8).foldLeft(0L) { (acc, i) =>
+        acc | (((rx >> i) & 1L) << (2 * i)) | (((ry >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = for { rx <- 0 until 256; ry <- 0 until 256 }
+      yield (rx.toLong, ry.toLong, refMorton(rx.toLong, ry.toLong))
+    val bad = pairs.toDF("rx", "ry", "expect")
+      .withColumn("z", RelationalOps.zOrderKey(col("rx"), col("ry"), 8))
+      .filter(col("z") =!= col("expect")).count()
+    assert(bad == 0, s"$bad of 65536 interleaves wrong")
+
+    // 2) run the registered query, audit the staged layout
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory, s"$d fixture not present")
+    QueryRegistry.byName("q89_zorder_cluster").fn(spark, d).collect()
+    val staged = spark.read.parquet(Staging.dir("zorder", d))
+      .select(input_file_name().as("f"), col("zkey"))
+      .as[(String, Long)].collect()
+    // zkey file ranges must be disjoint (what repartitionByRange buys)
+    val zRanges = staged.groupBy(_._1).values
+      .map(rs => (rs.map(_._2).min, rs.map(_._2).max)).toArray.sortBy(_._1)
+    assert(zRanges.length > 1, "expected multiple z-clustered files")
+    zRanges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file z-ranges: hi=$hi lo=$lo")
+    }
+    // the point of z-order vs 1-D clustering: BOTH rank dimensions stay
+    // bounded per file. De-interleave the keys and compare the mean
+    // per-file y-extent against the same rows 1-D-clustered on x alone
+    // (which leaves y near its full width): z-order must at least halve
+    // it, while keeping the x-extent under ~60% of the rank space.
+    def deX(z: Long) = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+    def deY(z: Long) = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+    val pts = staged.map { case (f, z) => (f, deX(z), deY(z)) }
+    def meanExtent(groups: Iterable[Array[(Long, Long)]],
+                   pick: ((Long, Long)) => Long): Double = {
+      val es = groups.map { g =>
+        val v = g.map(pick); (v.max - v.min + 1).toDouble }
+      es.sum / es.size
+    }
+    val zGroups = pts.groupBy(_._1).values
+      .map(_.map(p => (p._2, p._3))).toList
+    val sortedByX = pts.map(p => (p._2, p._3)).sortBy(identity)
+    val n = sortedByX.length
+    val xGroups = (0 until 8).map(k =>
+      sortedByX.slice(k * n / 8, (k + 1) * n / 8)).toList
+    val zY = meanExtent(zGroups, _._2)
+    val baseY = meanExtent(xGroups, _._2)
+    val zX = meanExtent(zGroups, _._1)
+    assert(zY < 0.75 * baseY,
+      s"z-order mean y-extent $zY not < 0.75 × 1-D baseline $baseY")
+    assert(zX <= 160.0, s"z-order mean x-extent $zX exceeds 160/256")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     // salting (q50) is the explicit skew tool; this proves the RUNTIME
     // lever — AQE re-plans a skewed SMJ into split sub-partitions after
@@ -678,25 +733,44 @@ class OpsSpec extends AnyFunSuite {
     assert(leaked2.isEmpty, s"frequencyIndex left persisted RDDs: $leaked2")
   }
 
-  test("Tables.events normalizes ts across fixture generations (NTZ and long-nanos)") {
+  test("Tables.events normalizes ts across fixture generations (NTZ and TIMESTAMP(NANOS))") {
     // The round-14 breakage class: the driver regenerated the fixtures
     // with events.ts as naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ)
     // where earlier generations carried TIMESTAMP(NANOS) (read as long
     // under nanosAsLong), and the loader's unconditional nanos rebuild
     // failed analysis on 12 queries. Pin BOTH branches: whatever the
-    // on-disk generation, the loader must yield a session-timezone
-    // TimestampType with identical instant values.
-    import org.apache.spark.sql.types.TimestampType
+    // on-disk generation, the loader must yield TimestampType with
+    // identical instant values.
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val sf = "/root/testdata/sf0.001"
     assume(new java.io.File(sf).isDirectory, s"$sf fixture not present")
     val native = Tables.events(spark, sf)
     assert(native.schema("ts").dataType == TimestampType,
       s"native load must normalize to TimestampType, got ${native.schema("ts").dataType}")
-    // stage a legacy-generation copy: ts as a plain long of epoch nanos —
-    // the shape the nanosAsLong read path produces from TIMESTAMP(NANOS)
-    val legacyDir = TestSpark.tempDir("events_legacy_")
-    native.withColumn("ts", expr("unix_micros(ts) * 1000L"))
-      .write.mode("overwrite").parquet(s"$legacyDir/events.parquet")
+    // stage a legacy-generation copy with a REAL TIMESTAMP(NANOS) footer
+    // via parquet-mr's low-level writer (Spark itself cannot produce
+    // NANOS), so the genuine footer-decode path stays pinned — not the
+    // plain-INT64 stand-in that skips it
+    val legacyDir = TestSpark.tempDir("events_nanos_")
+    val legacyFile = s"$legacyDir/events.parquet"
+    val rows = native
+      .select(col("event_id"), expr("unix_micros(ts) * 1000L"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .as[(Long, Long, Long, String, Double, String)].collect()
+      .map { case (id, ns, uid, et, v, p) =>
+        NanosEventsWriter.Row(id, ns, uid, et, v, p) }
+    NanosEventsWriter.write(legacyFile, rows.toIndexedSeq)
+    // the staged file must really carry the NANOS annotation: without the
+    // legacy conf Spark refuses it outright (PARQUET_TYPE_ILLEGAL)...
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val err = intercept[Exception] {
+      strict.read.parquet(legacyFile).collect()
+    }.toString
+    assert(err.toLowerCase.contains("illegal"),
+      s"expected PARQUET_TYPE_ILLEGAL on a NANOS footer, got: $err")
+    // ...and under it the footer reads as a plain long of epoch nanos
+    assert(Tables.eventsRawSchema(spark, legacyDir.toString)("ts").dataType == LongType)
     val legacy = Tables.events(spark, legacyDir.toString)
     assert(legacy.schema("ts").dataType == TimestampType,
       s"legacy load must rebuild TimestampType, got ${legacy.schema("ts").dataType}")
@@ -706,5 +780,26 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted
     assert(nativeRows.sameElements(legacyRows),
       "instant values must be identical across fixture generations")
+  }
+
+  test("Tables.events instants are independent of spark.sql.session.timeZone") {
+    // The NTZ relabel used to be a bare cast("timestamp") — value-
+    // preserving only under the engine-wide UTC session pin; an entry
+    // point that forgot the pin would silently shift every instant by
+    // the host offset. The make_timestamp(..., 'UTC') rebuild must give
+    // identical instants under ANY session timezone (a separate session
+    // keeps the tz override away from concurrently running suites).
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, s"$sf fixture not present")
+    val utcRows = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sorted
+    val la = spark.newSession()
+    la.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val laRows = Tables.events(la, sf)
+      .select(col("event_id"), unix_micros(col("ts")))
+      .as[(Long, Long)].collect().sorted
+    assert(laRows.sameElements(utcRows),
+      "NTZ rebuild shifted instants under a non-UTC session timezone")
   }
 }

@@ -28,8 +28,7 @@ class ScaleStreamSpec extends AnyFunSuite {
   gated("tumbling stream agrees with batch on closed windows at sf0.1") {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val q = StreamingWindows.runTumblingStream(spark, sf, rawSchema,
+    val q = StreamingWindows.runTumblingStream(spark, sf,
       "tumbling_scale_spec")
     try {
       q.processAllAvailable()
@@ -80,8 +79,7 @@ class ScaleStreamSpec extends AnyFunSuite {
     java.nio.file.Files.move(java.nio.file.Paths.get(part),
       tmpB.resolve("events.parquet"))
     val nTotal = staged.count()
-    val rawSchema = spark.read.parquet(s"$tmpB/events.parquet").schema
-    val q = StreamingWindows.dedupStream(spark, tmpB.toString, rawSchema,
+    val q = StreamingWindows.dedupStream(spark, tmpB.toString,
       "dedup_scale_spec")
     try {
       q.processAllAvailable()
@@ -108,8 +106,7 @@ class ScaleStreamSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val q = StreamingWindows.sessionizeStream(spark, sf, rawSchema,
+    val q = StreamingWindows.sessionizeStream(spark, sf,
       "sessionize_scale_spec")
     try {
       q.processAllAvailable()
@@ -176,8 +173,7 @@ class ScaleStreamSpec extends AnyFunSuite {
     // an independently-tested code path. ~92k pairs at sf0.1.
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val q = StreamingWindows.intervalJoinStream(spark, sf, rawSchema,
+    val q = StreamingWindows.intervalJoinStream(spark, sf,
       "interval_scale_spec", deltaSec = 600L)
     try {
       q.processAllAvailable()
