@@ -261,6 +261,44 @@ object DedupQueries {
              |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
              |ORDER BY id_a, id_b""".stripMargin),
-      doc = "16-bit SimHash, integer-only arithmetic; hamming ≤ 2 ⇒ near-dup")
+      doc = "16-bit SimHash, integer-only arithmetic; hamming ≤ 2 ⇒ near-dup"),
+
+    // ---- benchmark decontamination --------------------------------------
+    GQuery("q90_decontamination",
+      (s, d) => {
+        // Test-set decontamination — the training-data op that keeps
+        // benchmark text out of a corpus: flag every doc sharing a
+        // 5-word shingle with a "benchmark" probe set (a deterministic
+        // slice here, doc_id % 20 == 0; the fixtures' planted near-dups
+        // supply real contamination). The probe side carries the scale
+        // story: a benchmark suite is tiny next to a 100 TB corpus, so
+        // its distinct shingles BROADCAST — the corpus shingle stream is
+        // filtered map-side with zero shuffle, and only the rare matched
+        // rows reach the per-doc count aggregation. 5-grams, not the
+        // dedup family's 3-grams: decontamination wants exact-passage
+        // overlap, and common boilerplate flags 80% of the fixture
+        // corpus at n=3 vs 2.6% of true near-copies at n=5.
+        val sh = Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 5)
+        val probe = sh.filter(col("doc_id") % 20 === 0)
+          .select("shingle").distinct()
+        sh.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(probe), Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("shingle")).as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             |         t[i+3] || ' ' || t[i+4] AS shingle
+             |       FROM toks, unnest(generate_series(1, len(t)-4)) AS u(i)),
+             |probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0)
+             |SELECT s.doc_id,
+             |  CAST(count(DISTINCT s.shingle) AS BIGINT) AS n_shared
+             |FROM sh s JOIN probe USING (shingle)
+             |WHERE s.doc_id % 20 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "benchmark decontamination: flag docs sharing any 5-gram with a probe set — probe shingles broadcast (tiny vs a 100 TB corpus: zero corpus-side shuffle before the match), per-doc distinct-overlap count; 5-gram so boilerplate does not flag")
   )
 }

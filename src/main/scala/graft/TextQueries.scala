@@ -243,7 +243,47 @@ object TextQueries {
              |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT)
              |    AS fake_height
              |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin),
-      doc = "multimodal end-to-end: binaryFile ingest → mapPartitions batched decode (the mapInPandas shape) → typed metadata rows, oracle-checked against the stub arithmetic recomputed from the source bytes")
+      doc = "multimodal end-to-end: binaryFile ingest → mapPartitions batched decode (the mapInPandas shape) → typed metadata rows, oracle-checked against the stub arithmetic recomputed from the source bytes"),
+
+    // ---- sequence packing (training-batch prep) --------------------------
+    GQuery("q91_sequence_packing",
+      (s, d) => {
+        // The concat-then-chunk packing that turns a document corpus
+        // into fixed-length training sequences: docs are concatenated
+        // per shard and the token stream is cut into 512-token windows;
+        // a doc belongs to the window its first token falls in. Shard =
+        // doc_id % 8 — packing at 100 TB is per-shard by construction
+        // (the chunk boundary is a local property of a shard's stream),
+        // so the running-sum window partitions by shard: no global
+        // sort, no single-partition WindowExec, and each shard's
+        // sequences are independent of every other's. The per-(shard,
+        // seq) doc-count + token-sum output pins every doc's running
+        // offset: one wrong cumulative sum moves a doc across a window
+        // boundary and breaks two rows.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), (col("doc_id") % 8).as("bucket"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("seq", shiftright(col("cum") - col("tok"), 9))
+          .groupBy("bucket", "seq")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+          .orderBy("bucket", "seq")
+      },
+      Some("""WITH toks AS (SELECT doc_id, doc_id % 8 AS bucket,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+             |  FROM documents),
+             |offs AS (SELECT bucket, tok,
+             |  sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM toks)
+             |SELECT bucket, (cum - tok) // 512 AS seq,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(tok) AS BIGINT) AS sum_tokens
+             |FROM offs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "concat-then-chunk sequence packing into 512-token training windows: per-shard running token sum (window partitioned by shard — no global sort), window id via shiftright(offset, 9); per-(shard, seq) doc count + token sum pins every cumulative offset")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

@@ -237,6 +237,20 @@ object GraftProps extends Properties("graft") {
       mapper.readValue("\"" + JsonEscape.str(s) + "\"", classOf[String]) == s
     }
 
+  property("zOrderKey: de-interleaving recovers both ranks, key is z-monotone") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))) { pts =>
+      pts.nonEmpty ==> {
+        val out = pts.toDF("rx", "ry")
+          .withColumn("z", RelationalOps.zOrderKey(col("rx"), col("ry"), 8))
+          .as[(Long, Long, Long)].collect()
+        def deX(z: Long) = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        def deY(z: Long) = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        out.forall { case (rx, ry, z) =>
+          deX(z) == rx && deY(z) == ry && z >= 0L && z < (1L << 16)
+        }
+      }
+    }
+
   property("zipWithRank: ids are 1..n in sorted order") =
     forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
       val xs = raw.distinct

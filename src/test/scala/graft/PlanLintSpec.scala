@@ -117,6 +117,20 @@ class PlanLintSpec extends AnyFunSuite {
       s"plan-quality regressions:\n${offenders.mkString("\n")}")
   }
 
+  test("decontamination joins the corpus against a BROADCAST probe side") {
+    // q90's scale claim: the benchmark probe set is tiny next to the
+    // corpus, so the match must plan as a broadcast hash join (corpus
+    // shingles filtered map-side, zero corpus shuffle before the
+    // match) — a sort-merge join here would shuffle the full corpus
+    // shingle stream by shingle string at 100 TB.
+    val p90 = QueryRegistry.byName("q90_decontamination").fn(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p90.contains("BroadcastHashJoin"),
+      "probe match must be a broadcast hash join")
+    assert(!p90.contains("SortMergeJoin"),
+      "corpus shingles must not be shuffle-sorted for the probe match")
+  }
+
   test("empty-partition window detector flags a planted Window.orderBy") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
