@@ -500,6 +500,65 @@ object MiscQueries {
              |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "z-order (Morton) clustered write over (user_id, cents): equal-width ranks → codegen'd bit-interleave key → repartitionByRange + sortWithinPartitions; every file bounds BOTH dimensions in its footer stats so predicates on either column prune — the multi-column layout lever next to hive partitioning (q63) and 1-D range clustering (q70); per-zbucket count+sum oracle pins every interleaved bit"),
 
+    // ---- source mixing (training-data domain weights) ---------------------
+    GQuery("q93_source_mixing",
+      (s, d) => {
+        // Domain mixing — reshaping a crawl's natural source
+        // distribution into a target training mix. Weight ∝ (source
+        // index + 1) stands in for a quality prior; the budget is 40%
+        // of the corpus. Target counts use INTEGER arithmetic only
+        // (budget = 2N div 5, target = budget·w div Σw) so the mix
+        // table is bit-exact in any engine. The plan shape is the 100 TB
+        // one: per-source counts are ONE map-side-combined agg (sources
+        // are low-cardinality by nature — a 20-row result at any corpus
+        // size), the totals row broadcasts back onto it, and the
+        // realized mix is applied by seeded per-source Bernoulli
+        // sampling (row-local coin flips, zero shuffle of the corpus);
+        // collecting the 20-row fraction map to drive sampleBy is a
+        // bounded-dimension collect, same class as q73's static map.
+        // Realized counts must sit in a ±25%+20 band (the q73/q66
+        // claim-check pattern: exact columns value-checked, the
+        // stochastic claim folded into an expected-TRUE boolean).
+        val docs = Tables.documents(s, d)
+        val pop = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("weight",
+            regexp_extract(col("source"), "src(\\d+)", 1).cast("long") + 1)
+        val totals = pop.agg(sum("n_docs").as("n_total"),
+          sum("weight").as("w_total"))
+        val mix = pop.crossJoin(broadcast(totals))
+          .withColumn("n_target",
+            least(col("n_docs"), expr("((n_total * 2 div 5) * weight) div w_total")))
+          .withColumn("fraction",
+            round(col("n_target").cast("double") / col("n_docs"), 6))
+          .select("source", "n_docs", "weight", "n_target", "fraction")
+        val fractions = mix.select("source", "fraction")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val got = docs.stat.sampleBy("source", fractions, 42L)
+          .groupBy("source").agg(count(lit(1)).as("got"))
+        mix.join(got, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("weight"),
+            col("n_target"), col("fraction"),
+            (abs(coalesce(col("got"), lit(0L)) - col("n_target")) <=
+              col("n_target") * 0.25 + 20).as("within_tol"))
+          .orderBy("source")
+      },
+      Some("""WITH pop AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) + 1
+             |      AS weight
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT sum(n_docs) AS n_total, sum(weight) AS w_total
+             |        FROM pop)
+             |SELECT source, n_docs, weight,
+             |  least(n_docs, ((n_total * 2 // 5) * weight) // w_total)
+             |    AS n_target,
+             |  round(CAST(least(n_docs,
+             |    ((n_total * 2 // 5) * weight) // w_total) AS DOUBLE)
+             |    / n_docs, 6) AS fraction,
+             |  TRUE AS within_tol
+             |FROM pop, tot ORDER BY source""".stripMargin),
+      doc = "domain mixing: integer-exact per-source target counts from a weight prior and a 40% budget (one 20-row agg + broadcast totals at any corpus size), applied via seeded row-local sampleBy with the realized counts checked against a ±25%+20 band in-plan"),
+
     // ---- EXCEPT / INTERSECT (set-op completeness) ------------------------
     GQuery("q82_except_intersect",
       (s, d) => {

@@ -283,7 +283,54 @@ object TextQueries {
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(tok) AS BIGINT) AS sum_tokens
              |FROM offs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "concat-then-chunk sequence packing into 512-token training windows: per-shard running token sum (window partitioned by shard — no global sort), window id via shiftright(offset, 9); per-(shard, seq) doc count + token sum pins every cumulative offset")
+      doc = "concat-then-chunk sequence packing into 512-token training windows: per-shard running token sum (window partitioned by shard — no global sort), window id via shiftright(offset, 9); per-(shard, seq) doc count + token sum pins every cumulative offset"),
+
+    // ---- PII redaction (corpus scrubbing) --------------------------------
+    GQuery("q92_pii_redaction",
+      (s, d) => {
+        // PII scrubbing — the redaction pass every training corpus gets
+        // before the tokenizer: emails and URLs replaced with fixed
+        // tags, row-local regexp_replace (codegen'd, no shuffle, no
+        // UDF). Dirt is planted deterministically (every 7th doc gains
+        // an email, every 11th a URL — the synthetic corpus contains
+        // neither) so the ORACLE never runs a regex: it recomputes the
+        // expected match counts and exact post-redaction lengths from
+        // the planting rule alone, which makes engine/oracle regex
+        // dialect drift structurally unable to mask a bad redaction —
+        // count parity proves the matcher found exactly the planted
+        // PII, length parity proves the replacement spans were exact.
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val urlRe = "https?://[a-z0-9./-]+"
+        val dirty = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit(" contact user0@example.com now")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" visit https://ex0.example.org/p ok")).otherwise(lit("")))
+            .as("dirty"))
+        dirty.select(col("doc_id"),
+            regexp_count(col("dirty"), lit(emailRe)).cast("long")
+              .as("n_emails"),
+            regexp_count(col("dirty"), lit(urlRe)).cast("long")
+              .as("n_urls"),
+            length(regexp_replace(
+              regexp_replace(col("dirty"), urlRe, "<URL>"),
+              emailRe, "<EMAIL>")).cast("long").as("len_clean"))
+          .orderBy("doc_id")
+      },
+      // planted email piece: 30 chars dirty, 20 redacted (email 17 →
+      // <EMAIL> 7); url piece: 35 dirty, 15 redacted (url 25 → <URL> 5)
+      Some("""SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_emails,
+             |  CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             |    AS n_urls,
+             |  CAST(length(text)
+             |    + CASE WHEN doc_id % 7 = 0 THEN 20 ELSE 0 END
+             |    + CASE WHEN doc_id % 11 = 0 THEN 15 ELSE 0 END AS BIGINT)
+             |    AS len_clean
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "PII redaction over planted dirt: email/URL regexp_replace with fixed tags, row-local and codegen'd; the oracle recomputes counts and exact redacted lengths from the planting rule (never running a regex), so dialect drift cannot mask a bad matcher or an inexact replacement span")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

@@ -35,7 +35,9 @@ class PlanLintSpec extends AnyFunSuite {
     "q34_knn_bruteforce",         // bounded (20-vector) query side
     "q77_quantized_recall",       // bounded query side, exact + quantized
     "q86_csv_permissive",         // two 1-row count aggs crossJoined
-    "q88_ivf_recall")             // bounded query side + 16-centroid table
+    "q88_ivf_recall",             // bounded query side + 16-centroid table
+    "q93_source_mixing")          // 1-row totals agg crossJoined onto the
+                                  // 20-row per-source mix table
 
   /** Scan-quality gate for the queries whose whole point is what reaches
     * the parquet scan: filters must push down (`PushedFilters`), unused
