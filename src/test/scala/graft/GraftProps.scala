@@ -251,6 +251,21 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("equalWidthRank: in [0, 2^bits), monotone, endpoints hit 0 and max") =
+    forAll(Gen.listOfN(20, Gen.choose(-100000L, 100000L))) { raw =>
+      val xs = raw.distinct
+      (xs.size >= 2) ==> {
+        val out = xs.toDF("v")
+          .withColumn("r", RelationalOps.equalWidthRank(col("v"),
+            lit(xs.min), lit(xs.max), 8))
+          .as[(Long, Long)].collect().sortBy(_._1)
+        val ranks = out.map(_._2)
+        ranks.forall(r => r >= 0L && r <= 255L) &&
+          ranks.zip(ranks.tail).forall { case (a, b) => a <= b } &&
+          ranks.head == 0L && ranks.last == 255L
+      }
+    }
+
   property("zipWithRank: ids are 1..n in sorted order") =
     forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
       val xs = raw.distinct
