@@ -299,6 +299,82 @@ object DedupQueries {
              |FROM sh s JOIN probe USING (shingle)
              |WHERE s.doc_id % 20 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "benchmark decontamination: flag docs sharing any 5-gram with a probe set — probe shingles broadcast (tiny vs a 100 TB corpus: zero corpus-side shuffle before the match), per-doc distinct-overlap count; 5-gram so boilerplate does not flag")
+      doc = "benchmark decontamination: flag docs sharing any 5-gram with a probe set — probe shingles broadcast (tiny vs a 100 TB corpus: zero corpus-side shuffle before the match), per-doc distinct-overlap count; 5-gram so boilerplate does not flag"),
+
+    // ---- leakage-safe train/eval split ----------------------------------
+    GQuery("q94_leakage_split",
+      (s, d) => {
+        // Leakage-safe splitting: a doc-level random split leaks
+        // near-duplicates across the train/eval boundary (the eval set
+        // then measures memorization, not generalization), so the split
+        // UNIT is the near-dup cluster — every member lands on one
+        // side. Labels come from the q71 connected components (the
+        // cluster-min doc id — deterministic), singleton docs are their
+        // own cluster, and the side is label % 5 (20% eval): pure
+        // arithmetic on the label, no engine hash function in the
+        // contract. The no-straddle claim is folded in-plan (q73/q66
+        // pattern): every near-dup pair must see both ends on one side
+        // — an expected-TRUE boolean the oracle pins, which fails if
+        // the labels the siding actually used ever disagree with the
+        // pair graph.
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        val pairs = Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val labeled = docs.select("doc_id")
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+          .withColumn("side",
+            when(col("cluster") % 5 === 0, "eval").otherwise("train"))
+        val sides = labeled.select(col("doc_id"), col("side"))
+        val straddles = pairs
+          .join(sides.toDF("id_a", "side_a"), Seq("id_a"))
+          .join(sides.toDF("id_b", "side_b"), Seq("id_b"))
+          .filter(col("side_a") =!= col("side_b"))
+          .agg(count(lit(1)).as("n_straddle"))
+        labeled.groupBy("side")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster")).as("n_clusters"))
+          .crossJoin(broadcast(straddles))
+          .select(col("side"), col("n_docs"), col("n_clusters"),
+            (col("n_straddle") === 0).as("no_straddle"))
+          .orderBy("side")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesCte
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+              |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |         FROM shf a JOIN shf b ON a.shingle = b.shingle
+              |           AND a.doc_id < b.doc_id
+              |         GROUP BY 1, 2),
+              |jp AS (SELECT id_a, id_b FROM cand
+              |       JOIN sizes na ON id_a = na.doc_id
+              |       JOIN sizes nb ON id_b = nb.doc_id
+              |       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              |          UNION SELECT id_b, id_a FROM jp),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+              |cl AS (SELECT id AS doc_id, min(r) AS cluster
+              |       FROM reach GROUP BY id),
+              |lab AS (SELECT d.doc_id,
+              |          coalesce(cl.cluster, d.doc_id) AS cluster
+              |        FROM documents d LEFT JOIN cl USING (doc_id)),
+              |sided AS (SELECT doc_id, cluster,
+              |            CASE WHEN cluster % 5 = 0 THEN 'eval'
+              |                 ELSE 'train' END AS side
+              |          FROM lab)
+              |SELECT side, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+              |  TRUE AS no_straddle
+              |FROM sided GROUP BY side ORDER BY side""".stripMargin),
+      doc = "leakage-safe train/eval split: the split unit is the near-dup CLUSTER (q71 components; singletons are their own cluster), side = cluster-label % 5 — deterministic arithmetic, no engine hash in the contract; the no-near-dup-pair-straddles claim is checked in-plan as an expected-TRUE boolean")
   )
 }

@@ -36,8 +36,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q77_quantized_recall",       // bounded query side, exact + quantized
     "q86_csv_permissive",         // two 1-row count aggs crossJoined
     "q88_ivf_recall",             // bounded query side + 16-centroid table
-    "q93_source_mixing")          // 1-row totals agg crossJoined onto the
+    "q93_source_mixing",          // 1-row totals agg crossJoined onto the
                                   // 20-row per-source mix table
+    "q94_leakage_split")          // 1-row straddle-count agg crossJoined
+                                  // onto the 2-row side summary
 
   /** Scan-quality gate for the queries whose whole point is what reaches
     * the parquet scan: filters must push down (`PushedFilters`), unused
