@@ -375,6 +375,75 @@ object DedupQueries {
               |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
               |  TRUE AS no_straddle
               |FROM sided GROUP BY side ORDER BY side""".stripMargin),
-      doc = "leakage-safe train/eval split: the split unit is the near-dup CLUSTER (q71 components; singletons are their own cluster), side = cluster-label % 5 — deterministic arithmetic, no engine hash in the contract; the no-near-dup-pair-straddles claim is checked in-plan as an expected-TRUE boolean")
+      doc = "leakage-safe train/eval split: the split unit is the near-dup CLUSTER (q71 components; singletons are their own cluster), side = cluster-label % 5 — deterministic arithmetic, no engine hash in the contract; the no-near-dup-pair-straddles claim is checked in-plan as an expected-TRUE boolean"),
+
+    // ---- quality-aware dedup compaction ---------------------------------
+    GQuery("q95_dedup_keep_best",
+      (s, d) => {
+        // q72 compacts a cluster to its min-id member; a production
+        // corpus keeps the BEST member. Canonical = argmax of the q38
+        // quality score — legal as a cross-engine sort key because the
+        // score is rounded to 6 in-plan and bit-reproducible (no
+        // transcendentals; q38 hash-matches DuckDB on it), with ties to
+        // the smaller doc_id. Selection runs through topKPerGroup (W4):
+        // Spark's WindowGroupLimit pushes rn<=1 into the window exec —
+        // partitioned by cluster, so no global sort, and only one row
+        // per cluster survives the shuffle.
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        val pairs = Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val scored = docs
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+          .withColumn("quality",
+            graft.ext.TextAnalysis.qualityScore(col("text")))
+        graft.ops.RelationalOps.topKPerGroup(scored, Seq(col("cluster")),
+            Seq(col("quality").desc, col("doc_id").asc), k = 1)
+          .select(col("cluster"), col("doc_id").as("kept_doc"),
+            col("quality"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH RECURSIVE $ShinglesCte
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+              |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |         FROM shf a JOIN shf b ON a.shingle = b.shingle
+              |           AND a.doc_id < b.doc_id
+              |         GROUP BY 1, 2),
+              |jp AS (SELECT id_a, id_b FROM cand
+              |       JOIN sizes na ON id_a = na.doc_id
+              |       JOIN sizes nb ON id_b = nb.doc_id
+              |       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+              |          UNION SELECT id_b, id_a FROM jp),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT src, src FROM edges
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+              |cl AS (SELECT id AS doc_id, min(r) AS cluster
+              |       FROM reach GROUP BY id),
+              |scored AS (SELECT d.doc_id,
+              |    coalesce(cl.cluster, d.doc_id) AS cluster,
+              |    round(
+              |      0.5 * (len(list_filter(string_split(d.text, ' '),
+              |             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+              |             / CAST(len(string_split(d.text, ' ')) AS DOUBLE))
+              |      + 0.3 * least(CAST(len(string_split(d.text, ' ')) AS DOUBLE), 100.0) / 100.0
+              |      + 0.2 * (1.0 - (length(d.text) - length(regexp_replace(d.text, '[^a-z0-9 ]', '', 'g')))
+              |               / CAST(greatest(length(d.text), 1) AS DOUBLE)), 6)
+              |      AS quality
+              |  FROM documents d LEFT JOIN cl USING (doc_id)),
+              |ranked AS (SELECT *, row_number() OVER (
+              |    PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn
+              |  FROM scored)
+              |SELECT cluster, doc_id AS kept_doc, quality
+              |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin),
+      doc = "quality-aware compaction: keep the argmax-quality member per near-dup cluster (q38's rounded bit-reproducible score as the cross-engine sort key, doc_id tie-break) via topKPerGroup — WindowGroupLimit partitioned by cluster, one survivor per cluster past the shuffle")
   )
 }
