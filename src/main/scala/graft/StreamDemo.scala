@@ -18,7 +18,7 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = mode match {
       case "tumbling"   => StreamingWindows.runTumblingStream(spark, sfDir, "demo")
       case "userstats"  => StreamingWindows.userStatsStream(spark, sfDir, "demo")

@@ -36,6 +36,46 @@ object NanosEventsWriter {
     .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
     .named("spark_schema")
 
+  /** One orders row in fixture column order; `orderdateNanos` is epoch
+    * nanos (the hypothetical NANOS-generation shape of `o_orderdate`). */
+  final case class OrderRow(orderkey: Long, custkey: Long, status: String,
+                            totalprice: Double, orderdateNanos: Long,
+                            priority: String)
+
+  private val ordersSchema: MessageType = Types.buildMessage()
+    .required(INT64).named("o_orderkey")
+    .required(INT64).named("o_custkey")
+    .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderstatus")
+    .required(DOUBLE).named("o_totalprice")
+    .required(INT64)
+    .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS))
+    .named("o_orderdate")
+    .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("o_orderpriority")
+    .named("spark_schema")
+
+  /** Write an orders fixture whose `o_orderdate` carries a REAL
+    * TIMESTAMP(NANOS) footer — pins `Tables.normalizeDateish`'s long
+    * branch through the genuine footer-decode path (same rationale as
+    * the events writer above). */
+  def writeOrders(path: String, rows: Seq[OrderRow]): Unit = {
+    val writer = ExampleParquetWriter.builder(new Path(path))
+      .withConf(new Configuration())
+      .withType(ordersSchema)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(ordersSchema)
+    try rows.foreach { r =>
+      val g = factory.newGroup()
+      g.add("o_orderkey", r.orderkey)
+      g.add("o_custkey", r.custkey)
+      g.add("o_orderstatus", r.status)
+      g.add("o_totalprice", r.totalprice)
+      g.add("o_orderdate", r.orderdateNanos)
+      g.add("o_orderpriority", r.priority)
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Write `rows` to a single parquet FILE at `path` (matching the
     * fixtures' one-file-per-table layout). */
   def write(path: String, rows: Seq[Row]): Unit = {
