@@ -89,7 +89,7 @@ class MlStreamSpec extends AnyFunSuite {
   }
 
   test("tumbling stream (Append + watermark) agrees with batch on closed windows") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.runTumblingStream(spark, Sf,
       "tumbling_spec")
     try {
@@ -162,7 +162,7 @@ class MlStreamSpec extends AnyFunSuite {
 
   test("flatMapGroupsWithState sessionizer agrees with batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.sessionizeStream(spark, Sf,
       "sessionize_spec")
     try {
@@ -217,7 +217,7 @@ class MlStreamSpec extends AnyFunSuite {
   }
 
   test("stream-static enrichment join matches the batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val dim = Tables.events(spark, Sf).groupBy("user_id")
       .agg(count(lit(1)).as("hist_n"))
     val q = StreamingWindows.enrichStream(spark, Sf, dim,
@@ -285,7 +285,7 @@ class MlStreamSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join matches the batch interval join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.intervalJoinStream(spark, Sf,
       "interval_spec", deltaSec = 600L)
     try {
@@ -309,7 +309,7 @@ class MlStreamSpec extends AnyFunSuite {
   }
 
   test("foreachBatch parquet sink: content matches batch, replay is idempotent") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val outDir = TestSpark.tempDir("graft_sink_spec").toString
     val q = StreamingWindows.parquetSinkStream(spark, Sf, outDir)
     try q.processAllAvailable() finally q.stop()
@@ -330,7 +330,7 @@ class MlStreamSpec extends AnyFunSuite {
   }
 
   test("mapGroupsWithState user stats agree with batch counts") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.userStatsStream(spark, Sf,
       "userstats_spec")
     try {

@@ -27,7 +27,7 @@ class ScaleStreamSpec extends AnyFunSuite {
 
   gated("tumbling stream agrees with batch on closed windows at sf0.1") {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.runTumblingStream(spark, sf,
       "tumbling_scale_spec")
     try {
@@ -64,7 +64,7 @@ class ScaleStreamSpec extends AnyFunSuite {
     // construction (same md5 over the same file), so
     // streamCount == streamDistinct == batchDistinct ⟺ set equality.
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val base = Tables.events(spark, sf)
       .select("ts", "event_id", "user_id", "event_type", "value")
     val planted = base.limit(1000)
@@ -105,7 +105,7 @@ class ScaleStreamSpec extends AnyFunSuite {
     // distributed exceptAll counts, not collected driver-side sets.
     import org.apache.spark.sql.expressions.Window
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.sessionizeStream(spark, sf,
       "sessionize_scale_spec")
     try {
@@ -172,7 +172,7 @@ class ScaleStreamSpec extends AnyFunSuite {
     // truth — exactly the semantics the streaming join implements, via
     // an independently-tested code path. ~92k pairs at sf0.1.
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set by Tables' footer probe iff the fixture needs it
     val q = StreamingWindows.intervalJoinStream(spark, sf,
       "interval_scale_spec", deltaSec = 600L)
     try {
