@@ -51,12 +51,28 @@ object StreamingWindows {
     * and the `ts` rebuild is the shared [[graft.Tables.normalizeEventsTs]]
     * — so the batch loader and this source can never branch differently
     * for one fixture, and callers cannot hand in a schema from another
-    * generation. */
+    * generation.
+    *
+    * Layout-adaptive too: the fixtures ship `events.parquet` as a single
+    * FILE (streamed from `dir` behind a `pathGlobFilter`, since the file
+    * stream source wants a directory), but a regenerated fixture using
+    * Spark's default write layout would make it a DIRECTORY of part
+    * files — which the glob filter would silently exclude (a zero-row
+    * stream, not an error). Probe the actual layout through the Hadoop
+    * FS API (works on any FileSystem, not just local) and stream the
+    * directory itself in that case; a missing path fails loudly here
+    * rather than as an empty stream. */
   private def eventsStream(spark: SparkSession, dir: String) = {
     val schema = graft.Tables.eventsRawSchema(spark, dir)
-    graft.Tables.normalizeEventsTs(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.getFileStatus(p).isDirectory)
+        spark.readStream.schema(schema).parquet(p.toString)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.Tables.normalizeEventsTs(src)
   }
 
   /** Closed session emitted by [[sessionizeStream]]: [s_start, s_last]

@@ -160,6 +160,43 @@ class MlStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tumbling stream adapts to a directory-layout events fixture") {
+    // The fixtures ship events.parquet as a single FILE and the stream
+    // picks it out of the sf dir with a pathGlobFilter — but a
+    // regenerated fixture using Spark's default write layout would make
+    // it a DIRECTORY of part files, which that glob silently excludes
+    // (a zero-row stream, not an error). Stage the directory layout and
+    // pin that the stream still starts and agrees with batch.
+    val dirGen = TestSpark.tempDir("events_dirlayout_")
+    Tables.events(spark, Sf)
+      .withColumn("ts", expr("cast(ts as timestamp_ntz)")) // naive gen
+      .repartition(3) // several part files, like a real distributed write
+      .write.parquet(s"$dirGen/events.parquet")
+    val q = StreamingWindows.runTumblingStream(spark, dirGen.toString,
+      "tumbling_dirlayout_spec")
+    try {
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000
+      var out = spark.table("tumbling_dirlayout_spec").collect()
+      while (out.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        q.processAllAvailable()
+        out = spark.table("tumbling_dirlayout_spec").collect()
+      }
+      assert(out.nonEmpty, "directory-layout stream emitted no closed windows")
+      val batch = StreamingWindows
+        .tumblingAgg(Tables.events(spark, dirGen.toString))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      out.foreach { r =>
+        val k = (r.getLong(0), r.getString(1))
+        assert(batch(k) == ((r.getLong(2), r.getLong(3))),
+          s"window $k: stream=(${r.getLong(2)},${r.getLong(3)}) batch=${batch(k)}")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with batch gaps-and-islands") {
     import org.apache.spark.sql.expressions.Window
     // nanosAsLong is set by Tables' footer probe iff the fixture needs it
