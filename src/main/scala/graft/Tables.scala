@@ -100,9 +100,12 @@ object Tables {
     * streaming source (`StreamingWindows.eventsStream`):
     *
     *   - `LongType` (TIMESTAMP(NANOS) footer read under `nanosAsLong`):
-    *     rebuild a micros timestamp with integer division — `ts div 1000`
-    *     stays in long arithmetic, so no double-mantissa precision loss
-    *     at ~1e18 nanos.
+    *     rebuild a micros timestamp with FLOOR division in long
+    *     arithmetic ([[floorDivMicros]]) — no double-mantissa precision
+    *     loss at ~1e18 nanos, and pre-1970 instants (negative nanos)
+    *     floor toward the earlier microsecond as truncation-to-micros
+    *     semantics require (`div` alone truncates toward zero, which
+    *     would shift −1500ns to −1µs instead of −2µs).
     *   - `TimestampNTZType` (naive TIMESTAMP(MICROS) footer): the wall
     *     clock IS the UTC instant. Rebuilt via field extraction +
     *     `make_timestamp(..., 'UTC')` — every extraction is tz-free on
@@ -122,7 +125,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts", timestamp_micros(floorDivMicros("ts")))
       case TimestampNTZType =>
         df.withColumn("ts", expr(
           "make_timestamp(year(ts), month(ts), day(ts), hour(ts), " +
@@ -153,11 +156,19 @@ object Tables {
     import org.apache.spark.sql.functions._
     df.schema(c).dataType match {
       case LongType =>
-        df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        df.withColumn(c, timestamp_micros(floorDivMicros(c)))
       case DateType | TimestampNTZType | TimestampType => df
       case other => failDrift("orders/lineitem", c, other,
         "TIMESTAMP(NANOS) [as long], DATE, TIMESTAMP_NTZ, TIMESTAMP")
     }
+  }
+
+  /** epoch-nanos long column → epoch micros by FLOOR division (Spark's
+    * `div` truncates toward zero; flooring keeps negative — pre-1970 —
+    * instants on the correct microsecond). All in long arithmetic. */
+  private def floorDivMicros(c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.expr
+    expr(s"`$c` div 1000 - (case when `$c` % 1000 < 0 then 1 else 0 end)")
   }
 
   def documents(s: SparkSession, d: String): DataFrame =

@@ -116,6 +116,25 @@ class FixtureDriftSpec extends AnyFunSuite {
       "NANOS-generation wall clocks diverge from native")
   }
 
+  test("NANOS rebuild floors sub-microsecond remainders, including pre-1970 instants") {
+    // truncation-to-micros means FLOOR: -1500ns is 1969-12-31
+    // 23:59:59.9999985, whose micros value is -2 (23:59:59.999998) —
+    // `div` alone truncates toward zero and would give -1. Positive
+    // instants floor and truncate identically.
+    val dir = TestSpark.tempDir("nanos_floor_").toString
+    NanosEventsWriter.write(s"$dir/events.parquet", Seq(
+      NanosEventsWriter.Row(1L, -1500L, 1L, "a", 0.0, "{}"),
+      NanosEventsWriter.Row(2L, -1000L, 1L, "a", 0.0, "{}"),
+      NanosEventsWriter.Row(3L, -999L, 1L, "a", 0.0, "{}"),
+      NanosEventsWriter.Row(4L, 0L, 1L, "a", 0.0, "{}"),
+      NanosEventsWriter.Row(5L, 999L, 1L, "a", 0.0, "{}"),
+      NanosEventsWriter.Row(6L, 1500L, 1L, "a", 0.0, "{}")))
+    val got = Tables.events(spark, dir).orderBy("event_id")
+      .select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L),
+      s"floored micros expected Seq(-2,-1,-1,0,0,1), got $got")
+  }
+
   test("a generation outside the supported envelope fails loudly at load") {
     import spark.implicits._
     // events.ts as STRING — no adaptation possible, must name the column
