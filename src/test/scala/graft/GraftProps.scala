@@ -266,6 +266,20 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("nanos→micros rebuild == Math.floorDiv for arbitrary instants") =
+    forAll(Gen.listOfN(20,
+      Gen.oneOf(Gen.choose(-3_000_000L, 3_000_000L),    // dense near epoch
+        Gen.choose(-9_000_000_000_000_000_000L,          // full long range
+          9_000_000_000_000_000_000L)))) { ns =>
+      ns.nonEmpty ==> {
+        // stage through the loader's LongType branch (what a NANOS
+        // footer reads as) and recover the micros the rebuild produced
+        val got = Tables.normalizeDateish(ns.toDF("o_orderdate"), "o_orderdate")
+          .select(unix_micros(col("o_orderdate"))).as[Long].collect().toSeq
+        got.sorted == ns.map(Math.floorDiv(_, 1000L)).sorted
+      }
+    }
+
   property("zipWithRank: ids are 1..n in sorted order") =
     forAll(Gen.listOfN(15, Gen.identifier.map(_.take(8)))) { raw =>
       val xs = raw.distinct
