@@ -237,7 +237,7 @@ object MiscQueries {
         // ml.stat.Correlation (reference functions.py:159): one distributed
         // Gramian pass; the 4×4 result is bounded driver data
         val m = org.apache.spark.ml.stat.Correlation.corr(vecs, "features")
-          .head.getAs[MlMatrix](0)
+          .head().getAs[MlMatrix](0)
         val rows = for { i <- cs.indices; j <- cs.indices } yield
           (cs(i), cs(j),
             BigDecimal(m(i, j)).setScale(4, BigDecimal.RoundingMode.HALF_UP)

@@ -77,5 +77,5 @@ object CleaningOps {
   /** P12 — column-name sanitization (reference `functions.py:22-28`
     * strips `.` from names for Spark compatibility). */
   def sanitizeNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.replace(".", "")): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.replace(".", "")): _*)
 }
