@@ -229,12 +229,16 @@ object VectorFunctions {
   /** Register the expressions in the session's function registry (public
     * Catalyst API — Column-from-Expression constructors are private[sql]
     * in Spark 4, so resolution goes through `call_function` instead).
-    * Idempotent; cheap enough to call per query build. */
+    * Idempotent; cheap enough to call per query build. Skips names that
+    * already resolve (extension-injected or a prior call) — re-replacing
+    * the same builder would be a no-op that still logs a WARN per query. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      CosineName, cosineBuilder, "internal")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      LshName, lshBuilder, "internal")
+    val reg = spark.sessionState.functionRegistry
+    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "internal")
+    ensure(CosineName, cosineBuilder)
+    ensure(LshName, lshBuilder)
   }
 
   /** Column wrapper: fused codegen cosine similarity. Requires
