@@ -299,9 +299,20 @@ object TextQueries {
         // dialect drift structurally unable to mask a bad redaction —
         // count parity proves the matcher found exactly the planted
         // PII, length parity proves the replacement spans were exact.
+        // All three outputs are DELTAS attributable to the planted dirt
+        // (count/length on `dirty` minus the same on `text`, folded back
+        // onto length(text)): any PII-shaped string a future fixture
+        // generation plants in the base text passes through both sides of
+        // the subtraction symmetrically, so the planting-rule oracle stays
+        // exact without ever assuming the corpus is PII-free. The planted
+        // suffixes start with a space (outside both character classes), so
+        // no match can straddle the text/suffix boundary and the deltas
+        // are structurally exact, not statistically.
         val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
         val urlRe = "https?://[a-z0-9./-]+"
-        val dirty = Tables.documents(s, d).select(col("doc_id"),
+        def clean(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          regexp_replace(regexp_replace(c, urlRe, "<URL>"), emailRe, "<EMAIL>")
+        val dirty = Tables.documents(s, d).select(col("doc_id"), col("text"),
           concat(col("text"),
             when(col("doc_id") % 7 === 0,
               lit(" contact user0@example.com now")).otherwise(lit("")),
@@ -309,13 +320,15 @@ object TextQueries {
               lit(" visit https://ex0.example.org/p ok")).otherwise(lit("")))
             .as("dirty"))
         dirty.select(col("doc_id"),
-            regexp_count(col("dirty"), lit(emailRe)).cast("long")
+            (regexp_count(col("dirty"), lit(emailRe)) -
+              regexp_count(col("text"), lit(emailRe))).cast("long")
               .as("n_emails"),
-            regexp_count(col("dirty"), lit(urlRe)).cast("long")
+            (regexp_count(col("dirty"), lit(urlRe)) -
+              regexp_count(col("text"), lit(urlRe))).cast("long")
               .as("n_urls"),
-            length(regexp_replace(
-              regexp_replace(col("dirty"), urlRe, "<URL>"),
-              emailRe, "<EMAIL>")).cast("long").as("len_clean"))
+            (length(col("text")) +
+              (length(clean(col("dirty"))) - length(clean(col("text")))))
+              .cast("long").as("len_clean"))
           .orderBy("doc_id")
       },
       // planted email piece: 30 chars dirty, 20 redacted (email 17 →
@@ -330,7 +343,7 @@ object TextQueries {
              |    + CASE WHEN doc_id % 11 = 0 THEN 15 ELSE 0 END AS BIGINT)
              |    AS len_clean
              |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "PII redaction over planted dirt: email/URL regexp_replace with fixed tags, row-local and codegen'd; the oracle recomputes counts and exact redacted lengths from the planting rule (never running a regex), so dialect drift cannot mask a bad matcher or an inexact replacement span")
+      doc = "PII redaction over planted dirt: email/URL regexp_replace with fixed tags, row-local and codegen'd; outputs are deltas attributable to the planted dirt (base-text matches cancel), so the oracle recomputes counts and exact redacted lengths from the planting rule alone (never running a regex) and stays exact even if a future fixture generation plants PII-shaped strings in the base text")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

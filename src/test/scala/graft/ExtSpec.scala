@@ -261,4 +261,37 @@ class ExtSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(dict == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
   }
+
+  test("q92 redaction deltas stay exact when the base text itself contains PII") {
+    // q92's oracle recomputes counts/lengths from the planting rule and
+    // never runs a regex — which is only sound because the engine side
+    // reports DELTAS attributable to the planted dirt (base-text matches
+    // cancel across the subtraction). Pin that: salt every 5th doc of a
+    // staged corpus copy with a real email AND url, then the planting-rule
+    // arithmetic must still hold row-for-row over the salted corpus.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory, s"$sf fixture not present")
+    val staged = TestSpark.tempDir("docs_pii_")
+    Tables.documents(spark, sf)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" mail someone@mail.example.com or " +
+            "see http://www.example.com/a here"))).otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val lens = spark.read.parquet(s"$staged/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rows = QueryRegistry.byName("q92_pii_redaction")
+      .fn(spark, staged.toString)
+      .select("doc_id", "n_emails", "n_urls", "len_clean")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.exists(_._1 % 5 == 0), "salt never landed — vacuous test")
+    rows.foreach { case (id, ne, nu, lc) =>
+      assert(ne == (if (id % 7 == 0) 1L else 0L), s"doc $id n_emails=$ne")
+      assert(nu == (if (id % 11 == 0) 1L else 0L), s"doc $id n_urls=$nu")
+      val expect = lens(id) + (if (id % 7 == 0) 20L else 0L) +
+        (if (id % 11 == 0) 15L else 0L)
+      assert(lc == expect, s"doc $id len_clean=$lc expected=$expect")
+    }
+  }
 }
