@@ -520,9 +520,14 @@ object MiscQueries {
         // claim-check pattern: exact columns value-checked, the
         // stochastic claim folded into an expected-TRUE boolean).
         val docs = Tables.documents(s, d)
+        // weight prior ∝ source index + 1; a fixture generation that
+        // renames sources away from srcN degrades to UNIFORM weights
+        // (try_cast null → 0) on both engines instead of failing the
+        // cast mid-query (Spark 4 ANSI would throw on cast('' as long))
         val pop = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
           .withColumn("weight",
-            regexp_extract(col("source"), "src(\\d+)", 1).cast("long") + 1)
+            coalesce(expr("try_cast(regexp_extract(source, 'src(\\\\d+)', 1) as long)"),
+              lit(0L)) + 1)
         val totals = pop.agg(sum("n_docs").as("n_total"),
           sum("weight").as("w_total"))
         val mix = pop.crossJoin(broadcast(totals))
@@ -544,8 +549,8 @@ object MiscQueries {
       },
       Some("""WITH pop AS (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |    CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT) + 1
-             |      AS weight
+             |    COALESCE(TRY_CAST(regexp_extract(source, 'src(\d+)', 1)
+             |      AS BIGINT), 0) + 1 AS weight
              |  FROM documents GROUP BY source),
              |tot AS (SELECT sum(n_docs) AS n_total, sum(weight) AS w_total
              |        FROM pop)

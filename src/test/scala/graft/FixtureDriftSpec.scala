@@ -169,4 +169,24 @@ class FixtureDriftSpec extends AnyFunSuite {
       .cosineTopK(d.filter(col("vec_id") === 1L), d, "vec_id", "embedding",
         k = 1).count() >= 1L)
   }
+
+  test("q93 degrades to uniform weights when sources are not named srcN") {
+    // The mixing weight is parsed from the srcN naming convention; a
+    // regenerated corpus with different source names must fall back to
+    // weight 1 for every source (uniform mix) — not throw on
+    // cast('' as long), which Spark 4's ANSI mode would.
+    import spark.implicits._
+    val staged = TestSpark.tempDir("docs_srcdrift_")
+    Tables.documents(spark, sf)
+      .withColumn("source", regexp_replace(col("source"), "^src", "web"))
+      .write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val out = QueryRegistry.byName("q93_source_mixing")
+      .fn(spark, staged.toString)
+      .select("source", "weight", "within_tol")
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 20, s"expected 20 sources, got ${out.length}")
+    assert(out.forall(_._2 == 1L),
+      s"drifted naming must yield uniform weight 1: ${out.filter(_._2 != 1L).take(3).toSeq}")
+    assert(out.forall(_._3), "realized counts left the tolerance band")
+  }
 }
