@@ -21,3 +21,8 @@ else
     sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
   python3 scripts/verify_local.py "$SF_DIR" "$OUT_DIR" "$QUERIES"
 fi
+
+# Registry-wide oracle output-type sweep (r16 VERDICT item 2): Verify
+# dumps the FULL oracle_sql.json regardless of the query filter, so
+# even the promotion-family run type-checks every registered oracle.
+python3 scripts/oracle_type_sweep.py "$SF_DIR" "$OUT_DIR/oracle_sql.json"

@@ -47,4 +47,47 @@ s_i = [{"id": "x", "score": 5}]
 o_f = [{"id": "x", "score": 5.0}]
 assert vl.tolerant_multiset_match(s_i, o_f, cols, floaty) is None
 
-print("verify_local self-test: 6 cases OK")
+# --- column-TYPE parity (r16 q91/q93 class) ---------------------------
+# DuckDB promotes sum(BIGINT) to HUGEINT → decimal128(38,0); the
+# string-compare sees Decimal('3') == '3' and stays green while the
+# driver's type-aware hash fails. decimal_type_mismatches must flag the
+# pairing structurally.
+import pyarrow as pa
+
+t_int = pa.table({"a": pa.array([1], pa.int64())})
+t_dec = pa.table({"a": pa.array([1], pa.int64()).cast(pa.decimal128(38, 0))})
+t_flt = pa.table({"a": pa.array([1.0], pa.float64())})
+t_dec21 = pa.table({"a": pa.array([__import__("decimal").Decimal("1.0")],
+                                  pa.decimal128(2, 1))})
+assert vl.decimal_type_mismatches(t_int, t_dec) == [("a", "int", "decimal")]
+assert vl.decimal_type_mismatches(t_flt, t_dec21) == [("a", "float", "decimal")]
+assert vl.decimal_type_mismatches(t_int, t_int) == []
+assert vl.decimal_type_mismatches(t_flt, t_flt) == []
+# benign int-vs-float pairings (count() vs avg-family) stay allowed
+assert vl.decimal_type_mismatches(t_int, t_flt) == []
+
+# --- registry-wide oracle type sweep ----------------------------------
+# must fail on a planted uncast sum() (HUGEINT) and an uncast numeric
+# literal (decimal(2,1)), and pass their CAST-boundary forms
+spec_s = importlib.util.spec_from_file_location(
+    "ots", os.path.join(os.path.dirname(__file__), "oracle_type_sweep.py")
+)
+ots = importlib.util.module_from_spec(spec_s)
+spec_s.loader.exec_module(ots)
+import duckdb
+
+con = duckdb.connect()
+planted = {
+    "p_sum": "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x) t",
+    "p_lit": "SELECT 0.0 AS b",
+}
+bad = ots.sweep(con, planted)
+assert {(n, c) for n, c, _ in bad} == {("p_sum", "s"), ("p_lit", "b")}, bad
+clean = {
+    "c_sum": "SELECT CAST(sum(x) AS BIGINT) AS s "
+             "FROM (SELECT CAST(1 AS BIGINT) AS x) t ORDER BY s",
+    "c_lit": "SELECT CAST(0.0 AS DOUBLE) AS b",
+}
+assert ots.sweep(con, clean) == []
+
+print("verify_local self-test: 13 cases OK")

@@ -83,6 +83,37 @@ def float_col_names(*tables):
     return out
 
 
+def type_family(typ):
+    import pyarrow as pa
+
+    if pa.types.is_decimal(typ):
+        return "decimal"
+    if pa.types.is_integer(typ):
+        return "int"
+    if pa.types.is_floating(typ):
+        return "float"
+    return "other"
+
+
+def decimal_type_mismatches(spark_tbl, ora):
+    """Columns where one side is arrow decimal and the other is not.
+
+    The r16 driver failure class: DuckDB promotes windowed/aggregate
+    sum(BIGINT) to HUGEINT, surfacing as decimal128(38,0) against
+    Spark's int64. This replica's string-compare sees Decimal('3') ==
+    '3' and stays green while the driver's type-aware hash compare
+    fails — so type parity must be checked structurally, not by value.
+    Returns [(col, spark_family, oracle_family), ...]."""
+    s_types = dict(zip(spark_tbl.schema.names, spark_tbl.schema.types))
+    o_types = dict(zip(ora.schema.names, ora.schema.types))
+    bad = []
+    for c in sorted(set(s_types) & set(o_types)):
+        sf, of = type_family(s_types[c]), type_family(o_types[c])
+        if "decimal" in (sf, of) and sf != of:
+            bad.append((c, sf, of))
+    return bad
+
+
 def tolerant_multiset_match(s_rows, o_rows, cols, floaty):
     """Fallback for a sorted-pairwise mismatch: float sort keys bucket at 7
     significant digits, so two values equal under the 1e-9 tolerance can
@@ -159,6 +190,13 @@ def main():
         s_cols, o_cols = sorted(spark_tbl.column_names), sorted(ora.column_names)
         if s_cols != o_cols:
             ok = fail(f"{name}: schema mismatch spark={s_cols} oracle={o_cols}")
+            continue
+        type_bad = decimal_type_mismatches(spark_tbl, ora)
+        if type_bad:
+            ok = fail(
+                f"{name}: column TYPE mismatch (decimal vs non-decimal; "
+                f"cast the oracle at the boundary): {type_bad}"
+            )
             continue
         if spark_tbl.num_rows != ora.num_rows:
             ok = fail(

@@ -196,7 +196,8 @@ object CleaningQueries {
              |         ELSE p_retailprice > q1 - (q3 - q1) AND p_retailprice < q3 + (q3 - q1) END)
              |SELECT p_partkey, round(p_size, 4) AS p_size_f,
              |  round(p_retailprice, 2) AS price, p_brand,
-             |  CASE WHEN p_retailprice < 1000 THEN 0.0 ELSE 1.0 END AS pricey_bucket,
+             |  CAST(CASE WHEN p_retailprice < 1000 THEN 0.0 ELSE 1.0 END
+             |    AS DOUBLE) AS pricey_bucket,
              |  concat_ws(', ',
              |    CASE WHEN p_size >= 30 THEN 'big' END,
              |    CASE WHEN p_type LIKE '%STEEL%' THEN 'steel' END) AS tags

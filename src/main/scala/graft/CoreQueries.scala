@@ -77,7 +77,8 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"),
           round(avg(col("l_quantity")), 6).as("avg_qty"))
         .orderBy("buckets"),
-      Some("""SELECT CASE WHEN l_quantity < 25 THEN 0.0 ELSE 1.0 END AS buckets,
+      Some("""SELECT CAST(CASE WHEN l_quantity < 25 THEN 0.0 ELSE 1.0 END
+             |    AS DOUBLE) AS buckets,
              |  count(*) AS n, round(avg(l_quantity), 6) AS avg_qty
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "reference bgrfunctions.py:22-24 discretize_ratings"),

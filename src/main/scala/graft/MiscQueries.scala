@@ -555,8 +555,8 @@ object MiscQueries {
              |tot AS (SELECT sum(n_docs) AS n_total, sum(weight) AS w_total
              |        FROM pop)
              |SELECT source, n_docs, weight,
-             |  least(n_docs, ((n_total * 2 // 5) * weight) // w_total)
-             |    AS n_target,
+             |  CAST(least(n_docs, ((n_total * 2 // 5) * weight) // w_total)
+             |    AS BIGINT) AS n_target,
              |  round(CAST(least(n_docs,
              |    ((n_total * 2 // 5) * weight) // w_total) AS DOUBLE)
              |    / n_docs, 6) AS fraction,

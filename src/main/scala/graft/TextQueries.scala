@@ -279,7 +279,7 @@ object TextQueries {
              |  sum(tok) OVER (PARTITION BY bucket ORDER BY doc_id
              |                 ROWS UNBOUNDED PRECEDING) AS cum
              |  FROM toks)
-             |SELECT bucket, (cum - tok) // 512 AS seq,
+             |SELECT bucket, CAST((cum - tok) // 512 AS BIGINT) AS seq,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(tok) AS BIGINT) AS sum_tokens
              |FROM offs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),

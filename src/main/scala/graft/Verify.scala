@@ -50,8 +50,12 @@ object Verify {
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
     def q(s: String): String = "\"" + JsonEscape.str(s) + "\""
+    // Always the FULL registry, even under SPARK_GRAFT_ONLY: every
+    // filtered caller passes the same filter to verify_local (which
+    // skips absent dumps by name), and the full map lets
+    // scripts/oracle_type_sweep.py type-check the whole registry from
+    // any Verify run's output.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors

@@ -226,20 +226,29 @@ object VectorFunctions {
         s"bitsPerBand); got ${exprs.length}")
   }
 
+  /** Sessions this process has already registered into. Weak keys: the
+    * set must never pin a closed SparkSession in memory. */
+  private val registeredSessions: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Register the expressions in the session's function registry (public
     * Catalyst API — Column-from-Expression constructors are private[sql]
     * in Spark 4, so resolution goes through `call_function` instead).
-    * Idempotent; cheap enough to call per query build. Skips names that
-    * already resolve (extension-injected or a prior call) — re-replacing
-    * the same builder would be a no-op that still logs a WARN per query. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    def ensure(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "internal")
-    ensure(CosineName, cosineBuilder)
-    ensure(LshName, lshBuilder)
-  }
+    * Idempotent; cheap enough to call per query build. The FIRST call on
+    * a session unconditionally `createOrReplaceTempFunction`s — so a
+    * stale or foreign builder squatting on a graft_ name (older binary,
+    * user-registered) is replaced, never silently kept; repeat calls on
+    * the same session skip, so the replace-WARN logs at most once per
+    * session instead of once per query build. Extension-injected
+    * sessions get re-bound to the identical shared builder — a no-op. */
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "internal")
+      reg.createOrReplaceTempFunction(LshName, lshBuilder, "internal")
+    }
 
   /** Column wrapper: fused codegen cosine similarity. Requires
     * [[register]] to have run on the executing session. */

@@ -138,6 +138,23 @@ class ExtSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("expects exactly 2"))
   }
 
+  test("register replaces a foreign builder squatting on a graft_ name") {
+    // ADVICE r16: skip-if-resolves silently kept a stale/foreign function
+    // under graft's reserved names. The contract now: the FIRST register
+    // on a session replaces whatever is there; repeat calls skip.
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      graft.functions.VectorFunctions.CosineName,
+      _ => org.apache.spark.sql.catalyst.expressions.Literal(-99.0),
+      "scala_udf")
+    graft.functions.VectorFunctions.register(s2)
+    val sql = "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c"
+    assert(math.abs(s2.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
+    // second call on the same session is a cheap skip, still resolving
+    graft.functions.VectorFunctions.register(s2)
+    assert(math.abs(s2.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("native codegen cosine == HOF cosine bit-for-bit") {
     graft.functions.VectorFunctions.register(spark)
     val rnd = new scala.util.Random(3)
