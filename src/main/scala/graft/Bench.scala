@@ -81,6 +81,32 @@ object Bench {
     // robust to two. Costs ~1 min over the full suite, only where runs
     // are cheapest. The 2–5s band keeps median-of-3, ≥5s keeps min-of-2.
     val Protocol = "min2_med3_sub5s_med5_sub2s_split"
+    // Host context at run START (best-effort, Linux /proc; empty string
+    // off-Linux or on any read failure). The r16→r17 adjudication of a
+    // uniform driver-side slowdown hinged on host state the artifact
+    // didn't carry — boot age (fresh-boot page-cache warm-up reads
+    // 1.5-2× uniform), concurrent load, and cache residency. Recording
+    // them IN the JSON lets any hot map carry its own explanation
+    // instead of a next-round forensic.
+    val hostJson = try {
+      def read(p: String): String = {
+        val src = scala.io.Source.fromFile(p)
+        try src.mkString finally src.close()
+      }
+      val up = read("/proc/uptime").split("\\s+")(0).toDouble
+      val load1 = read("/proc/loadavg").split("\\s+")(0).toDouble
+      val mem = read("/proc/meminfo").linesIterator
+        .map(_.split(":\\s+|\\s+kB")).collect {
+          case Array(k, v) if k == "MemAvailable" || k == "Cached" =>
+            k -> v.trim.toLong
+        }.toMap
+      s""","host":{"uptime_sec":${fmt(up)},"load1":${fmt(load1)}""" +
+        s""","mem_available_kb":${mem.getOrElse("MemAvailable", -1L)}""" +
+        s""","page_cache_kb":${mem.getOrElse("Cached", -1L)}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] host context unavailable: $e")
+      ""
+    }
     val results = selected.map { q =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -156,7 +182,7 @@ object Bench {
       else "target/bench_out.json"
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
-    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"${jsonStr(sfDir)}","out":"${jsonStr(outPath.toString)}""""
+    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","sf":"${jsonStr(sfDir)}","out":"${jsonStr(outPath.toString)}"$hostJson"""
     val json = s"""{$totals,"queries":$qs,"errors":$errs,"runs":$allRuns}"""
     println(s"""{$totals,"queries":$qs,"errors":$errs}""")
     try {
