@@ -182,7 +182,8 @@ object CoreQueries {
           k = 3)
         .withColumn("o_totalprice", round(col("o_totalprice"), 2))
         .orderBy("o_custkey", "rn"),
-      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             |  CAST(rn AS INTEGER) AS rn
              |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              |        row_number() OVER (PARTITION BY o_custkey
              |          ORDER BY o_totalprice DESC, o_orderkey) AS rn

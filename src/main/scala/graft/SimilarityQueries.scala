@@ -42,7 +42,7 @@ object SimilarityQueries {
             (col("qmax") <= 127).as("in_int8_range"))
           .orderBy("vec_id")
       },
-      Some("""SELECT vec_id, len(embedding) AS n_dims,
+      Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
              |  TRUE AS within_half_step, TRUE AS in_int8_range
              |FROM embeddings ORDER BY vec_id""".stripMargin),
       doc = "int8 scalar quantization of the embedding column (row-local HOFs, no shuffle): per-dim reconstruction error provably ≤ scale/2 and every code in [−127,127] — both verified per vector as oracle claims"),
