@@ -17,7 +17,7 @@ q91/q93 failure class).
 Local validation tool only — python/duckdb are driver-side deps; the
 shipped Scala library never imports any of this.
 """
-import glob
+import importlib.util
 import json
 import os
 import sys
@@ -25,15 +25,14 @@ import sys
 import duckdb
 import pyarrow as pa
 
-
-def register_views(con, sf_dir):
-    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        t = os.path.splitext(os.path.basename(p))[0]
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-            if os.path.isdir(p)
-            else f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-        )
+# View registration is shared with verify_local.py (single home for
+# fixture-layout handling — dir-vs-file parquet, table naming).
+_spec = importlib.util.spec_from_file_location(
+    "vl", os.path.join(os.path.dirname(__file__), "verify_local.py")
+)
+_vl = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_vl)
+register_views = _vl.register_views
 
 
 def sweep(con, oracle):
@@ -54,6 +53,13 @@ def sweep(con, oracle):
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     oracle = json.load(open(oracle_path))
+    # Coverage guard: this sweep is the registry-wide backstop in
+    # scale_check.sh — an empty map (wrong path, stale file, a Verify
+    # regression re-introducing filtering) must not certify as OK.
+    if not oracle:
+        print(f"FAILED: oracle map at {oracle_path} is empty — "
+              f"nothing was type-checked")
+        sys.exit(1)
     con = duckdb.connect()
     register_views(con, sf_dir)
     bad = sweep(con, oracle)

@@ -90,4 +90,50 @@ clean = {
 }
 assert ots.sweep(con, clean) == []
 
-print("verify_local self-test: 13 cases OK")
+# --- end-to-end: sweep empty-map guard + attempted.json scope ---------
+# (subprocess level: both behaviors live in the scripts' main())
+import json
+import subprocess
+import sys
+import tempfile
+
+import pyarrow.parquet as pq_w
+
+scripts = os.path.dirname(os.path.abspath(__file__))
+
+
+def run(script, *args):
+    return subprocess.run([sys.executable, os.path.join(scripts, script),
+                           *args], capture_output=True, text=True)
+
+
+with tempfile.TemporaryDirectory() as tmp:
+    sf = os.path.join(tmp, "sf")
+    os.makedirs(sf)
+    # empty oracle map must FAIL the type sweep, not certify as OK
+    empty = os.path.join(tmp, "empty.json")
+    json.dump({}, open(empty, "w"))
+    r = run("oracle_type_sweep.py", sf, empty)
+    assert r.returncode == 1 and "empty" in r.stdout, (r.returncode, r.stdout)
+
+    # a filtered Verify dump dir is self-describing via attempted.json:
+    # unfiltered verify_local must compare exactly the attempted scope
+    out = os.path.join(tmp, "out")
+    os.makedirs(os.path.join(out, "qa"))
+    json.dump({"qa": "SELECT CAST(1 AS BIGINT) AS x",
+               "qb": "SELECT CAST(2 AS BIGINT) AS y"},
+              open(os.path.join(out, "oracle_sql.json"), "w"))
+    pq_w.write_table(pa.table({"x": pa.array([1], pa.int64())}),
+                     os.path.join(out, "qa", "part-0.parquet"))
+    # qmlz: rows-only entries appear in attempted but not in the oracle
+    json.dump(["qa", "qmlz"], open(os.path.join(out, "attempted.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 0 and "scope from attempted.json: 1/2" in r.stdout \
+        and "PASS qa" in r.stdout, (r.returncode, r.stdout)
+    # a query inside the attempted scope but missing its dump still FAILs
+    json.dump(["qa", "qb"], open(os.path.join(out, "attempted.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 1 and "qb: no parquet dump found" in r.stdout, (
+        r.returncode, r.stdout)
+
+print("verify_local self-test: 17 cases OK")

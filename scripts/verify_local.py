@@ -150,10 +150,38 @@ def tolerant_multiset_match(s_rows, o_rows, cols, floaty):
     return None
 
 
+def register_views(con, sf_dir):
+    """CREATE OR REPLACE VIEW per parquet table under sf_dir. Shared with
+    oracle_type_sweep.py — fixture-layout handling lives here only."""
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        t = os.path.splitext(os.path.basename(p))[0]
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            if os.path.isdir(p)
+            else f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+        )
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only is None:
+        # A filtered Verify run (SPARK_GRAFT_ONLY) declares its scope in
+        # attempted.json while still dumping the FULL oracle map (for the
+        # type sweep). Pick the scope up from the manifest so an
+        # unfiltered re-check of a filtered dump dir compares exactly
+        # what the run attempted — a query attempted but not dumped
+        # (spark-side error) is still inside the scope and still FAILs.
+        attempted_path = os.path.join(out_dir, "attempted.json")
+        if os.path.exists(attempted_path):
+            # intersect with the oracle map: attempted also lists the
+            # rows-only ML queries, which have no oracle to compare
+            scope = set(json.load(open(attempted_path))) & set(oracle)
+            if scope != set(oracle):
+                only = scope
+                print(f"NOTE scope from attempted.json: "
+                      f"{len(only)}/{len(oracle)} oracle queries")
     if only is not None:
         unknown = sorted(only - set(oracle))
         if unknown:
@@ -165,13 +193,7 @@ def main():
         errors = json.load(open(errs_path))
 
     con = duckdb.connect()
-    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
-        t = os.path.splitext(os.path.basename(p))[0]
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-            if os.path.isdir(p)
-            else f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-        )
+    register_views(con, sf_dir)
 
     ok = True
     n_checked = 0

@@ -50,14 +50,22 @@ object Verify {
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
     def q(s: String): String = "\"" + JsonEscape.str(s) + "\""
-    // Always the FULL registry, even under SPARK_GRAFT_ONLY: every
-    // filtered caller passes the same filter to verify_local (which
-    // skips absent dumps by name), and the full map lets
-    // scripts/oracle_type_sweep.py type-check the whole registry from
-    // any Verify run's output.
+    // Always the FULL registry, even under SPARK_GRAFT_ONLY — the full
+    // map lets scripts/oracle_type_sweep.py type-check the whole
+    // registry from any Verify run's output. The run's actual scope is
+    // declared in attempted.json below, so a filtered dump dir is
+    // self-describing: verify_local picks the scope up from the
+    // manifest instead of relying on the caller repeating the filter.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scope manifest: every query this run ATTEMPTED (the filtered set,
+    // including ones that errored — their dumps are absent, and a
+    // scope-aware compare must still flag them, never skip them).
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)

@@ -239,16 +239,28 @@ object VectorFunctions {
     * Idempotent; cheap enough to call per query build. The FIRST call on
     * a session unconditionally `createOrReplaceTempFunction`s — so a
     * stale or foreign builder squatting on a graft_ name (older binary,
-    * user-registered) is replaced, never silently kept; repeat calls on
-    * the same session skip, so the replace-WARN logs at most once per
-    * session instead of once per query build. Extension-injected
-    * sessions get re-bound to the identical shared builder — a no-op. */
-  def register(spark: SparkSession): Unit =
-    if (registeredSessions.add(spark)) {
-      val reg = spark.sessionState.functionRegistry
+    * user-registered) is replaced, never silently kept. Repeat calls
+    * re-register only if a graft_ name has gone missing (e.g. a user
+    * `DROP TEMPORARY FUNCTION` or a catalog reset) — self-healing —
+    * so the replace-WARN still logs at most once per session in the
+    * normal path. The whole check-and-register runs under one lock and
+    * latches the session only AFTER both functions are in place, so a
+    * concurrent caller can never observe register() returning while the
+    * names are still unresolvable, and a registration that throws is
+    * retried on the next call instead of being latched as done.
+    * Extension-injected sessions get re-bound to the identical shared
+    * builder — a no-op. */
+  def register(spark: SparkSession): Unit = registeredSessions.synchronized {
+    val reg = spark.sessionState.functionRegistry
+    def missing = Seq(CosineName, LshName).exists { n =>
+      !reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    }
+    if (!registeredSessions.contains(spark) || missing) {
       reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "internal")
       reg.createOrReplaceTempFunction(LshName, lshBuilder, "internal")
+      registeredSessions.add(spark)
     }
+  }
 
   /** Column wrapper: fused codegen cosine similarity. Requires
     * [[register]] to have run on the executing session. */

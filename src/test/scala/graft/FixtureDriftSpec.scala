@@ -185,9 +185,15 @@ class FixtureDriftSpec extends AnyFunSuite {
       .fn(spark, staged.toString)
       .select("source", "weight", "within_tol")
       .as[(String, Long, Boolean)].collect()
-    // drift test, not a cardinality test: don't couple to the fixture's
-    // exact source count (20 today)
+    // drift test: don't hard-code the fixture's exact source count
+    // (20 today), but do pin output cardinality to the staged corpus
+    // itself — a regression that silently drops source groups must not
+    // hide behind nonEmpty
+    val nSources = spark.read.parquet(s"$staged/documents.parquet")
+      .select("source").distinct().count()
     assert(out.nonEmpty, "expected at least one source row")
+    assert(out.length.toLong == nSources,
+      s"expected one row per staged source ($nSources), got ${out.length}")
     assert(out.forall(_._2 == 1L),
       s"drifted naming must yield uniform weight 1: ${out.filter(_._2 != 1L).take(3).toSeq}")
     assert(out.forall(_._3), "realized counts left the tolerance band")
