@@ -25,9 +25,47 @@ object Verify {
     // SPARK_GRAFT_ONLY=q17,q32 — builder-side targeted re-verification;
     // the driver never sets it (full dump)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val errors = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail fast on a typo'd filter name: silently dropping it from the
+    // scope would make the manifest-driven verify_local flow report
+    // green for a query that never ran.
+    only.foreach { o =>
+      val unknown = (o -- SparkEntry.queries.keySet).toSeq.sorted
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] SPARK_GRAFT_ONLY names unknown queries: " +
+            unknown.mkString(", "))
+        spark.stop()
+        sys.exit(2)
+      }
+    }
+    // The run's scope, computed ONCE: the loop below executes exactly
+    // this list and the attempted.json manifest declares exactly it, so
+    // the two can never drift.
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(name => only.forall(_.contains(name)))
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + JsonEscape.str(s) + "\""
+    // Both scope-describing files are written BEFORE the query loop, and
+    // any stale errors.json from a previous run in a reused outDir is
+    // removed: an interrupted run then reads as missing-dump FAILs under
+    // the fresh full-scope manifest, never as a previous run's (smaller
+    // or different) green scope.
+    // oracle_sql.json is always the FULL registry, even under
+    // SPARK_GRAFT_ONLY — the full map lets scripts/oracle_type_sweep.py
+    // type-check every registered oracle from any Verify run's output;
+    // attempted.json declares which queries THIS run executed (errored
+    // ones included — their dumps are absent, and a scope-aware compare
+    // must still flag them, never skip them).
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(q).mkString("[", ",", "]"))
+    Files.deleteIfExists(Paths.get(s"$outDir/errors.json"))
+    val errors = attempted.map(name => name -> SparkEntry.queries(name))
       .flatMap {
       case (name, fn) =>
         try {
@@ -46,26 +84,6 @@ object Verify {
             .foreach(_.unpersist(blocking = false))
         }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + JsonEscape.str(s) + "\""
-    // Always the FULL registry, even under SPARK_GRAFT_ONLY — the full
-    // map lets scripts/oracle_type_sweep.py type-check the whole
-    // registry from any Verify run's output. The run's actual scope is
-    // declared in attempted.json below, so a filtered dump dir is
-    // self-describing: verify_local picks the scope up from the
-    // manifest instead of relying on the caller repeating the filter.
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Scope manifest: every query this run ATTEMPTED (the filtered set,
-    // including ones that errored — their dumps are absent, and a
-    // scope-aware compare must still flag them, never skip them).
-    val attempted = SparkEntry.queries.keys.toSeq.sorted
-      .filter(name => only.forall(_.contains(name)))
-    Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      attempted.map(q).mkString("[", ",", "]"))
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)

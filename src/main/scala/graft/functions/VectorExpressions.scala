@@ -233,32 +233,51 @@ object VectorFunctions {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
+  /** True iff both graft_ names resolve to OUR builder instances in the
+    * session's registry. Identity (eq), not mere existence: a foreign
+    * `CREATE OR REPLACE TEMPORARY FUNCTION` squatting on a graft_ name
+    * after registration must be healed exactly like a drop — name
+    * existence alone would silently keep it and corrupt every
+    * similarity score. Only called when the session is already latched
+    * (or under the lock), so it never triggers sessionState lazy init
+    * on an unseen session. */
+  private def bound(spark: SparkSession): Boolean = {
+    val reg = spark.sessionState.functionRegistry
+    Seq(CosineName -> cosineBuilder, LshName -> lshBuilder).forall {
+      case (n, b) =>
+        reg.lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+          .exists(_ eq b)
+    }
+  }
+
   /** Register the expressions in the session's function registry (public
     * Catalyst API — Column-from-Expression constructors are private[sql]
     * in Spark 4, so resolution goes through `call_function` instead).
-    * Idempotent; cheap enough to call per query build. The FIRST call on
-    * a session unconditionally `createOrReplaceTempFunction`s — so a
-    * stale or foreign builder squatting on a graft_ name (older binary,
-    * user-registered) is replaced, never silently kept. Repeat calls
-    * re-register only if a graft_ name has gone missing (e.g. a user
-    * `DROP TEMPORARY FUNCTION` or a catalog reset) — self-healing —
-    * so the replace-WARN still logs at most once per session in the
-    * normal path. The whole check-and-register runs under one lock and
-    * latches the session only AFTER both functions are in place, so a
-    * concurrent caller can never observe register() returning while the
-    * names are still unresolvable, and a registration that throws is
-    * retried on the next call instead of being latched as done.
-    * Extension-injected sessions get re-bound to the identical shared
-    * builder — a no-op. */
-  def register(spark: SparkSession): Unit = registeredSessions.synchronized {
-    val reg = spark.sessionState.functionRegistry
-    def missing = Seq(CosineName, LshName).exists { n =>
-      !reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))
-    }
-    if (!registeredSessions.contains(spark) || missing) {
-      reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "internal")
-      reg.createOrReplaceTempFunction(LshName, lshBuilder, "internal")
-      registeredSessions.add(spark)
+    * Idempotent; called per query build, so the normal path is a
+    * LOCK-FREE fast path: latched session + both names still bound to
+    * our builders → return (two in-memory lookups; never blocks behind
+    * another session's first registration, which may run arbitrary
+    * sessionState/extension init). Otherwise, under one lock:
+    * `createOrReplaceTempFunction` both names — replacing any stale or
+    * foreign squatter, never silently keeping it — and latch the
+    * session only AFTER both are in place, so a concurrent caller can
+    * never observe register() returning while a name is unresolvable,
+    * and a registration that throws is retried on the next call instead
+    * of being latched as done. Repeat registration (and its
+    * replace-WARN) happens only on heal — a user DROP or foreign
+    * replace of a graft_ name — so the WARN logs at most once per
+    * session in the normal path. Extension-injected sessions get
+    * re-bound to the identical shared builder — a no-op. */
+  def register(spark: SparkSession): Unit = {
+    if (registeredSessions.contains(spark) && bound(spark)) return
+    registeredSessions.synchronized {
+      if (!registeredSessions.contains(spark) || !bound(spark)) {
+        val reg = spark.sessionState.functionRegistry
+        reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "internal")
+        reg.createOrReplaceTempFunction(LshName, lshBuilder, "internal")
+        registeredSessions.add(spark)
+      }
     }
   }
 

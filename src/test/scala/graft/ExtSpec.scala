@@ -140,19 +140,26 @@ class ExtSpec extends AnyFunSuite {
 
   test("register replaces a foreign builder squatting on a graft_ name") {
     // ADVICE r16: skip-if-resolves silently kept a stale/foreign function
-    // under graft's reserved names. The contract now: the FIRST register
-    // on a session replaces whatever is there; repeat calls skip.
+    // under graft's reserved names. The contract: register always leaves
+    // the graft_ names bound to OUR builders — replacing a pre-existing
+    // squatter, healing a post-latch foreign replace (identity probe,
+    // not mere existence), and healing a user DROP.
     val s2 = spark.newSession()
-    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
-      graft.functions.VectorFunctions.CosineName,
-      _ => org.apache.spark.sql.catalyst.expressions.Literal(-99.0),
-      "scala_udf")
-    graft.functions.VectorFunctions.register(s2)
+    def squat(): Unit =
+      s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+        graft.functions.VectorFunctions.CosineName,
+        _ => org.apache.spark.sql.catalyst.expressions.Literal(-99.0),
+        "scala_udf")
     val sql = "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c"
-    assert(math.abs(s2.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
-    // second call on the same session is a cheap skip, still resolving
-    graft.functions.VectorFunctions.register(s2)
-    assert(math.abs(s2.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
+    def check(): Unit = {
+      graft.functions.VectorFunctions.register(s2)
+      assert(math.abs(s2.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
+    }
+    squat(); check()          // pre-latch squatter replaced
+    check()                   // repeat call: lock-free fast path, still ours
+    squat(); check()          // post-latch foreign replace healed
+    s2.sql(s"DROP TEMPORARY FUNCTION ${graft.functions.VectorFunctions.CosineName}")
+    check()                   // user DROP healed on the next register
   }
 
   test("native codegen cosine == HOF cosine bit-for-bit") {
