@@ -26,14 +26,18 @@ object Verify {
     // the driver never sets it (full dump)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Fail fast on a typo'd filter name: silently dropping it from the
+    // Fail fast on a typo'd filter name — silently dropping it from the
     // scope would make the manifest-driven verify_local flow report
-    // green for a query that never ran.
+    // green for a query that never ran — and on a degenerate filter
+    // ("" or ",,", e.g. an unset shell variable interpolated into the
+    // env): an empty scope running zero queries and exiting 0 would
+    // read as a successful Verify to any exit-status gate.
     only.foreach { o =>
       val unknown = (o -- SparkEntry.queries.keySet).toSeq.sorted
-      if (unknown.nonEmpty) {
+      if (o.isEmpty || unknown.nonEmpty) {
         System.err.println(
-          s"[verify] SPARK_GRAFT_ONLY names unknown queries: " +
+          if (o.isEmpty) "[verify] SPARK_GRAFT_ONLY is set but names no queries"
+          else s"[verify] SPARK_GRAFT_ONLY names unknown queries: " +
             unknown.mkString(", "))
         spark.stop()
         sys.exit(2)
@@ -65,6 +69,21 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
       attempted.map(q).mkString("[", ",", "]"))
     Files.deleteIfExists(Paths.get(s"$outDir/errors.json"))
+    // Also remove each attempted query's STALE dump dir up front: in a
+    // reused outDir, an interrupted run must read as missing-dump FAILs
+    // — a previous run's dumps surviving under this run's fresh
+    // manifest would certify queries this run never executed. (Dumps
+    // of queries OUTSIDE the scope are kept: the manifest excludes
+    // them from the compare.)
+    attempted.foreach { name =>
+      val dir = Paths.get(s"$outDir/$name")
+      if (Files.exists(dir)) {
+        val walk = Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+        finally walk.close()
+      }
+    }
     val errors = attempted.map(name => name -> SparkEntry.queries(name))
       .flatMap {
       case (name, fn) =>

@@ -254,11 +254,13 @@ object VectorFunctions {
   /** Register the expressions in the session's function registry (public
     * Catalyst API — Column-from-Expression constructors are private[sql]
     * in Spark 4, so resolution goes through `call_function` instead).
-    * Idempotent; called per query build, so the normal path is a
-    * LOCK-FREE fast path: latched session + both names still bound to
-    * our builders → return (two in-memory lookups; never blocks behind
-    * another session's first registration, which may run arbitrary
-    * sessionState/extension init). Otherwise, under one lock:
+    * Idempotent; called per query build, so the normal path is a cheap
+    * fast path: latched session + both names still bound to our
+    * builders → return (two in-memory lookups whose only contention is
+    * other microsecond set/registry ops — never the registerLock, so
+    * it cannot block behind another session's first registration,
+    * which may run arbitrary sessionState/extension init). Otherwise,
+    * under registerLock:
     * `createOrReplaceTempFunction` both names — replacing any stale or
     * foreign squatter, never silently keeping it — and latch the
     * session only AFTER both are in place, so a concurrent caller can
@@ -271,7 +273,18 @@ object VectorFunctions {
     * re-bound to the identical shared builder — a no-op. */
   def register(spark: SparkSession): Unit = {
     if (registeredSessions.contains(spark) && bound(spark)) return
-    registeredSessions.synchronized {
+    // Dedicated lock, NOT the synchronizedSet's own monitor: every
+    // method of a Collections.synchronizedSet synchronizes on the
+    // wrapper, so holding THAT monitor across sessionState init would
+    // make the fast path's contains() block behind it — the exact
+    // serialization the fast path exists to avoid. Under registerLock,
+    // contains()/add() only contend with each other's microsecond set
+    // ops, never with a registration in flight. Visibility: the slow
+    // path registers BEFORE add(), and the set's own monitor
+    // (released by add, acquired by a fast-path contains) carries the
+    // happens-before; the registry's own internal synchronization
+    // covers bound()'s reads.
+    registerLock.synchronized {
       if (!registeredSessions.contains(spark) || !bound(spark)) {
         val reg = spark.sessionState.functionRegistry
         reg.createOrReplaceTempFunction(CosineName, cosineBuilder, "internal")
@@ -280,6 +293,8 @@ object VectorFunctions {
       }
     }
   }
+
+  private val registerLock = new Object
 
   /** Column wrapper: fused codegen cosine similarity. Requires
     * [[register]] to have run on the executing session. */
