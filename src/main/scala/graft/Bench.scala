@@ -45,9 +45,23 @@ object Bench {
         false
       }
     // SPARK_GRAFT_ONLY=q31,q32 — iterate on a subset without paying the
-    // full-suite wall-clock; the driver never sets it (full run)
+    // full-suite wall-clock; the driver never sets it (full run).
+    // Same fail-fast contract as Verify's parser: a typo'd name or a
+    // degenerate value ("" / ",,") must not silently stamp a smaller —
+    // or empty — artifact that reads as success to an exit-status gate.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = (o -- QueryRegistry.all.map(_.name).toSet).toSeq.sorted
+      if (o.isEmpty || unknown.nonEmpty) {
+        System.err.println(
+          if (o.isEmpty) "[bench] SPARK_GRAFT_ONLY is set but names no queries"
+          else s"[bench] SPARK_GRAFT_ONLY names unknown queries: " +
+            unknown.mkString(", "))
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val selected = QueryRegistry.all
       .filter(q => only.forall(_.contains(q.name)))
     def fmt(v: Double): String =

@@ -26,6 +26,22 @@ object Staging {
   def dir(purpose: String, sfDir: String): String =
     s"$root/${purpose}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
 
+  /** STRICT recursive delete: any failure to remove an entry throws.
+    * For certification paths — [[graft.Verify]]'s stale-dump purge —
+    * where a swallowed delete failure would silently re-admit a
+    * previous run's artifacts into the compare. The best-effort
+    * variant below stays for shutdown/cleanup paths, where the
+    * opposite trade-off holds. */
+  private[graft] def deleteRecursivelyStrict(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(Files.delete(_))
+      } finally walk.close()
+    }
+
   /** Best-effort recursive delete for self-created local temp dirs (a
     * caller-provided directory is never passed here). Shared by the
     * staging shutdown hook and [[graft.ml.Recsys]]'s temp checkpoint

@@ -75,14 +75,10 @@ object Verify {
     // manifest would certify queries this run never executed. (Dumps
     // of queries OUTSIDE the scope are kept: the manifest excludes
     // them from the compare.)
+    // Strict variant deliberately: a swallowed delete failure here
+    // would silently re-admit stale dumps into the compare.
     attempted.foreach { name =>
-      val dir = Paths.get(s"$outDir/$name")
-      if (Files.exists(dir)) {
-        val walk = Files.walk(dir)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally walk.close()
-      }
+      Staging.deleteRecursivelyStrict(Paths.get(s"$outDir/$name"))
     }
     val errors = attempted.map(name => name -> SparkEntry.queries(name))
       .flatMap {
