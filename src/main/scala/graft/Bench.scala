@@ -18,6 +18,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY=q31,q32 — iterate on a subset without paying the
+    // full-suite wall-clock. Resolved BEFORE the SparkSession: a typo'd
+    // filter fails in milliseconds, not after Spark startup + warmup.
+    val only = OnlyFilter.resolve("bench", QueryRegistry.all.map(_.name).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,24 +48,6 @@ object Bench {
         System.err.println(s"[bench] warmup read failed: $e")
         false
       }
-    // SPARK_GRAFT_ONLY=q31,q32 — iterate on a subset without paying the
-    // full-suite wall-clock; the driver never sets it (full run).
-    // Same fail-fast contract as Verify's parser: a typo'd name or a
-    // degenerate value ("" / ",,") must not silently stamp a smaller —
-    // or empty — artifact that reads as success to an exit-status gate.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { o =>
-      val unknown = (o -- QueryRegistry.all.map(_.name).toSet).toSeq.sorted
-      if (o.isEmpty || unknown.nonEmpty) {
-        System.err.println(
-          if (o.isEmpty) "[bench] SPARK_GRAFT_ONLY is set but names no queries"
-          else s"[bench] SPARK_GRAFT_ONLY names unknown queries: " +
-            unknown.mkString(", "))
-        spark.stop()
-        sys.exit(2)
-      }
-    }
     val selected = QueryRegistry.all
       .filter(q => only.forall(_.contains(q.name)))
     def fmt(v: Double): String =

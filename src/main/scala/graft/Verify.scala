@@ -7,6 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_ONLY=q17,q32 — builder-side targeted re-verification;
+    // the driver never sets it (full dump). Resolved BEFORE the
+    // SparkSession: a typo'd or degenerate filter (which would
+    // otherwise make the manifest-driven verify_local flow report
+    // green for a query that never ran, or run zero queries and exit
+    // 0) fails in milliseconds, not after Spark startup.
+    val only = OnlyFilter.resolve("verify", SparkEntry.queries.keySet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,27 +29,6 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // A failed query leaves no parquet dir; errors.json names every
     // failure so a missing dump is never silently "unmeasured".
-    // SPARK_GRAFT_ONLY=q17,q32 — builder-side targeted re-verification;
-    // the driver never sets it (full dump)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Fail fast on a typo'd filter name — silently dropping it from the
-    // scope would make the manifest-driven verify_local flow report
-    // green for a query that never ran — and on a degenerate filter
-    // ("" or ",,", e.g. an unset shell variable interpolated into the
-    // env): an empty scope running zero queries and exiting 0 would
-    // read as a successful Verify to any exit-status gate.
-    only.foreach { o =>
-      val unknown = (o -- SparkEntry.queries.keySet).toSeq.sorted
-      if (o.isEmpty || unknown.nonEmpty) {
-        System.err.println(
-          if (o.isEmpty) "[verify] SPARK_GRAFT_ONLY is set but names no queries"
-          else s"[verify] SPARK_GRAFT_ONLY names unknown queries: " +
-            unknown.mkString(", "))
-        spark.stop()
-        sys.exit(2)
-      }
-    }
     // The run's scope, computed ONCE: the loop below executes exactly
     // this list and the attempted.json manifest declares exactly it, so
     // the two can never drift.
