@@ -264,8 +264,11 @@ object CoreQueries {
         .select(col("c_custkey"), round(col("bal_scaled"), 6).as("bal_scaled"))
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey,
-             |  round((c_acctbal - min(c_acctbal) OVER ()) /
-             |        (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS bal_scaled
+             |  round(CASE WHEN max(c_acctbal) OVER () = min(c_acctbal) OVER ()
+             |             THEN CAST(0.5 AS DOUBLE)
+             |             ELSE (c_acctbal - min(c_acctbal) OVER ()) /
+             |                  (max(c_acctbal) OVER () - min(c_acctbal) OVER ())
+             |        END, 6) AS bal_scaled
              |FROM customer ORDER BY c_custkey""".stripMargin),
       doc = "reference fmreg.py:35-37 MinMaxScaler relational analog"),
 

@@ -250,7 +250,7 @@ object DedupQueries {
              |         FROM (SELECT DISTINCT tok FROM toks)),
              |tids AS (SELECT doc_id, sid FROM toks JOIN dict USING (tok)),
              |votes AS (SELECT doc_id, b,
-             |            sum(CASE WHEN ((sid * 2654435761) >> b) & 1 = 1
+             |            sum(CASE WHEN (((sid % 2147483647) * 2654435761) >> b) & 1 = 1
              |                     THEN 1 ELSE -1 END) AS v
              |          FROM tids, range(0, 16) t(b) GROUP BY 1, 2),
              |sh AS (SELECT doc_id,

@@ -58,8 +58,11 @@ object Dedup {
                    maxDf: Long = 1000L): DataFrame = {
     // The shingle frame fans out four ways (sizes, stop list, both join
     // sides): persist it once — unpersisted, the shingling lineage (at
-    // 100 TB: the full corpus scan) re-runs per consumer.
-    val s = RelationalOps.materialized(sh)
+    // 100 TB: the full corpus scan) re-runs per consumer. Borrowed, not
+    // taken: if the CALLER already persisted sh (to reuse it across
+    // several dedup passes), their cache is reused and left intact —
+    // an unconditional persist/unpersist here would silently drop it.
+    val (s, releaseS) = RelationalOps.borrowMaterialized(sh)
     val sizes = s.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     // The STOP list (df > maxDf) is tiny by construction — boilerplate
     // shingles are few in distinct count — so an anti join against it is
@@ -86,7 +89,7 @@ object Dedup {
         .withColumn("jaccard",
           col("common").cast("double") /
             (col("n_a") + col("n_b") - col("common"))))
-    s.unpersist()
+    releaseS()
     out
   }
 
@@ -231,7 +234,9 @@ object Dedup {
     * runs exactly once, not once per consumer. */
   def minhashCandidates(buckets: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val bk = RelationalOps.materialized(buckets)
+    // borrowed, not taken: a caller-held cache on `buckets` is reused
+    // and left intact (see jaccardPairs)
+    val (bk, releaseBk) = RelationalOps.borrowMaterialized(buckets)
     val sized = bk.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
@@ -243,7 +248,7 @@ object Dedup {
           Seq("band", "bucket"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct())
-    bk.unpersist()
+    releaseBk()
     out
   }
 
@@ -259,7 +264,14 @@ object Dedup {
     * The signature is then assembled row-locally from the vote signs. */
   def simhash(tokIds: DataFrame, idCol: String, bits: Int = 16): DataFrame = {
     val votes = (0 until bits).map { b =>
-      sum(when(expr(s"((sid * 2654435761) >> $b) & 1") === 1, 1)
+      // reduce sid into [0, 2^31-1) FIRST — the same guard as
+      // minhashBuckets: production xxhash64 sids span the full
+      // signed-64 range and sid·2654435761 would overflow long (ANSI
+      // mode throws). For dictionary ids (row_number ranks, always far
+      // below 2^31-1) pmod is the identity, so the oracle-checked
+      // values are unchanged; the oracle mirrors the same reduction.
+      sum(when(expr(
+          s"((pmod(sid, 2147483647) * 2654435761) >> $b) & 1") === 1, 1)
         .otherwise(-1)).as(s"__v_$b")
     }
     tokIds.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
@@ -278,6 +290,12 @@ object Dedup {
     * fan-out is per-segment-bucket, not O(n²). */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int,
                    bits: Int = 16): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"simhashPairs: maxHamming ($maxHamming) must be in [0, bits=" +
+        s"$bits) — at maxHamming >= bits a pigeonhole segment has zero " +
+        "width, its mask is 0, and every document lands in one bucket: " +
+        "the banded self-join silently degrades to the O(n²) cross " +
+        "join the banding exists to prevent")
     val nSeg = maxHamming + 1
     val segVals = array((0 until nSeg).map { s =>
       val lo = s * bits / nSeg
@@ -466,9 +484,14 @@ object Dedup {
     sym.unpersist()
     // real dup graphs converge in a handful of rounds, so hitting this
     // means the graph has a pathological long path (raise maxIter or
-    // switch to algorithm = "star")
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds")
+    // switch to algorithm = "star"). Release the final round's label
+    // blocks before throwing — the caller never receives a handle to
+    // them (the star variant does the same with its eRdd/nodesRdd).
+    if (!converged) {
+      labelsRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    }
     (labels, () => labelsRdd.unpersist(blocking = false))
   }
 

@@ -28,6 +28,21 @@ object RelationalOps {
     p
   }
 
+  /** [[materialized]] that respects a cache the CALLER already holds on
+    * `df`: if the frame is persisted, reuse it and return a no-op
+    * release; otherwise persist it and return a release that drops
+    * ONLY the blocks this call created. For helpers that fan a
+    * caller-supplied frame into several consumers — an unconditional
+    * persist/unpersist pair would silently drop the caller's own cache
+    * on the way out (persist state lives on the shared plan, not a
+    * private copy). */
+  def borrowMaterialized(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.storageLevel != StorageLevel.NONE) (df, () => ())
+    else {
+      val p = materialized(df)
+      (p, () => { p.unpersist(); () })
+    }
+
   /** J1 — "trim low-importance elements", the reference's most distinctive
     * relational op (reference `PySpark Scripts/bgrfunctions.py:43-53`):
     * keep fact rows whose `keyA` group has > minA rows AND whose `keyB`
@@ -101,9 +116,17 @@ object RelationalOps {
     * per column, Q1/Q3 via *exact* percentile, IQR = Q3−Q1, keep rows in
     * (Q1−IQR, Q3+IQR). The reference computes fences driver-side in
     * pandas; here they stay in the plan as a 1-row aggregate cross-joined
-    * (broadcast) into the filter, so the fact table streams once and the
-    * plan survives any scale.
-    */
+    * (broadcast) into the filter, so the fact table streams once.
+    *
+    * Scale note: EXACT percentile is the reference's semantic (pandas
+    * `quantile`) and is what the oracle checks, but its aggregation
+    * buffers distinct values — memory grows with distinct-value count,
+    * not a bounded sketch. That is fine for the bounded-cardinality
+    * columns this op targets (sizes, prices); for a continuous column
+    * with billions of distinct values use the `percentile_approx`
+    * fences (the q66/q59 approx family, same fence arithmetic) — the
+    * fact-side plan shape is identical, only the 1-row aggregate
+    * changes. */
   def removeOutliersIqr(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(percentile(col(c), lit(0.25)).as(s"${c}_q1"),
@@ -127,11 +150,18 @@ object RelationalOps {
 
   /** A11 — min-max scaling of one column to [0,1], relational analog of
     * `ml.feature.MinMaxScaler` (reference `fmreg.py:35-37`). The 1-row
-    * min/max aggregate is broadcast; no shuffle of the fact side. */
+    * min/max aggregate is broadcast; no shuffle of the fact side. A
+    * constant (or single-row) column maps to 0.5 — Spark ML
+    * MinMaxScaler's own degenerate-range semantic — instead of a
+    * divide-by-zero (an ANSI-mode ArithmeticException for integral
+    * columns, NaN for doubles). */
   def minMaxScale(df: DataFrame, c: String, out: String): DataFrame = {
     val mm = df.agg(min(col(c)).as("__mn"), max(col(c)).as("__mx"))
     df.crossJoin(broadcast(mm))
-      .withColumn(out, (col(c) - col("__mn")) / (col("__mx") - col("__mn")))
+      .withColumn(out,
+        when(col("__mx") === col("__mn"), lit(0.5))
+          .otherwise((col(c) - col("__mn")) /
+            (col("__mx") - col("__mn"))))
       .drop("__mn", "__mx")
   }
 
@@ -154,17 +184,27 @@ object RelationalOps {
 
   /** Skew-safe equi join: when one fact key holds a disproportionate
     * share of rows, a plain hash join sends the whole hot key to one
-    * task. Salting splits every fact key into `salts` sub-keys (salt =
-    * deterministic-enough hash of a per-row id — the assignment does not
-    * affect the result, only the balance) and replicates each dim row
-    * `salts` ways, so the hot key spreads over `salts` tasks. Result is
-    * identical to the plain inner equi join. AQE's skew-join handles
-    * sort-merge skew automatically; explicit salting remains the tool
-    * for broadcast-ineligible hash joins and for aggregations. */
+    * task. Salting splits every fact key into `salts` sub-keys and
+    * replicates each dim row `salts` ways, so the hot key spreads over
+    * `salts` tasks. Result is identical to the plain inner equi join.
+    * AQE's skew-join handles sort-merge skew automatically; explicit
+    * salting remains the tool for broadcast-ineligible hash joins and
+    * for aggregations.
+    *
+    * The salt is a hash of the ROW CONTENT, never of a
+    * nondeterministic id: monotonically_increasing_id re-enumerates
+    * differently when a lost map task is recomputed, so a partial
+    * stage retry would route the re-hashed rows to different reducers
+    * than the surviving shuffle outputs — silently duplicating or
+    * dropping fact rows (the SPARK-23207 class, invisible in
+    * single-attempt runs and live exactly at the cluster scale the
+    * salt guard exists for). Identical rows sharing a salt is fine:
+    * the salt only balances, it never changes the join result. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts))
+        .cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
@@ -268,6 +308,16 @@ object RelationalOps {
     } else {
       require(hotKeyBuckets > 1,
         "asOfJoin: hotKeyBuckets must be > 1 when hot-key splitting is on")
+      // The union of both inputs fans into FIVE consumers on this path
+      // (hot-key count, split-point collect, and — through withB — the
+      // window, per-bucket-last, and spine subtrees). Unpersisted, the
+      // full left+right lineage re-runs per consumer (~5 corpus scans
+      // at scale); persisted, it runs once and the consumers scan the
+      // cache. Left persisted for the result's consumers, per the
+      // repo's harness convention (Verify/Bench clear caches between
+      // queries) — the result is lazy, so the blocks cannot be
+      // released inside this function.
+      val unioned = materialized(lPart.unionByName(rPart))
       // hot keys are few by definition (each holds > threshold rows), so
       // both the hot-key list and the per-key split points broadcast
       val hot = unioned.groupBy(col(key)).agg(count(lit(1)).as("__n"))

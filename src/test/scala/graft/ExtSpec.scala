@@ -77,6 +77,48 @@ class ExtSpec extends AnyFunSuite {
       s"approx=${row._1} exact=${row._2}")
   }
 
+  test("simhash accepts full-range xxhash64 token ids (no ANSI overflow)") {
+    // production path: shingleIds(useDictionaryIds = false) emits
+    // xxhash64 ids spanning the full signed-64 range; the unguarded
+    // sid * 2654435761 overflows long and ANSI mode (Spark 4 default)
+    // throws. The pmod reduction must make this a working hash, and
+    // dictionary-id values must be unchanged by it (pmod is identity
+    // below 2^31-1 — the oracle-parity premise).
+    val extreme = Seq((1L, Long.MinValue), (1L, Long.MaxValue),
+      (2L, -987654321098765432L), (2L, 42L)).toDF("doc_id", "sid")
+    val out = Dedup.simhash(extreme, "doc_id").as[(Long, Long)].collect()
+    assert(out.length == 2 && out.forall(r => r._2 >= 0L && r._2 < (1L << 16)))
+  }
+
+  test("simhashPairs rejects maxHamming >= bits (zero-width segment)") {
+    // at maxHamming >= bits a pigeonhole segment has zero width and
+    // mask 0 — every doc shares one bucket and the banded join silently
+    // becomes the O(n²) cross join; must fail fast instead
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("doc_id", "simhash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", maxHamming = 16, bits = 16)
+    }
+    assert(e.getMessage.contains("zero"))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", maxHamming = -1, bits = 16)
+    }
+  }
+
+  test("jaccardPairs borrows a caller-held cache instead of dropping it") {
+    // the helper fans the shingle frame into four consumers and persists
+    // it; if the CALLER already persisted it (to reuse across several
+    // dedup passes), that cache must survive the call
+    val d = docs(1L -> "a b c d", 2L -> "x y b c d")
+    val sh = Dedup.shingles(d, "doc_id", "text", 3).persist()
+    try {
+      sh.count()
+      assert(Dedup.jaccardPairs(sh, "doc_id").count() >= 1)
+      assert(sh.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+        "caller's cache was dropped by the helper")
+    } finally sh.unpersist()
+  }
+
   test("simhashPairs pigeonhole banding == brute force") {
     // random 16-bit signatures; banding must find EXACTLY the pairs
     // within hamming <= 2 (recall 1 by pigeonhole)

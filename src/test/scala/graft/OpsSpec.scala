@@ -347,6 +347,18 @@ class OpsSpec extends AnyFunSuite {
     assert(scaled.toSeq == Seq(0.0, 0.5, 1.0))
   }
 
+  test("minMaxScale degenerate range: constant column maps to 0.5") {
+    // Spark ML MinMaxScaler's constant-column semantic; the unguarded
+    // form is a DIVIDE_BY_ZERO under Spark 4's default ANSI mode for
+    // integral columns (and a silent NaN for doubles)
+    val const = Seq(7L, 7L, 7L).toDF("x")
+    assert(RelationalOps.minMaxScale(const, "x", "s")
+      .select("s").as[Double].collect().toSeq == Seq(0.5, 0.5, 0.5))
+    val single = Seq(3.25).toDF("x")
+    assert(RelationalOps.minMaxScale(single, "x", "s")
+      .select("s").as[Double].collect().toSeq == Seq(0.5))
+  }
+
   test("connectedComponents runs one job per round (accumulator convergence)") {
     // path graph 1-2-3-4-5-6: the min label walks one hop per round, so
     // 5 propagation rounds + 1 quiet round prove convergence. Each round
