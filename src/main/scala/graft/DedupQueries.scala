@@ -232,6 +232,73 @@ object DedupQueries {
               |ORDER BY id_a, id_b""".stripMargin),
       doc = "the PRODUCTION minhash path end-to-end (xxhash64 shingle ids — no dictionary, no global sort): oracle-checked claim that every true Jaccard>=0.9 pair is among its 24-hash×3-row-band LSH candidates (miss ≈ 2.9e-5/pair at s=0.9 — holds through sf1); q32 keeps the dictionary path for value-level oracle parity"),
 
+    // ---- consensus dedup over ONE shared shingle scan ---------------------
+    GQuery("q97_dedup_consensus",
+      (s, d) => {
+        // Two dedup passes — exact Jaccard pairs AND minhash-LSH banding —
+        // composed over ONE caller-persisted shingle frame: the
+        // borrowMaterialized contract end-to-end (RelationalOps.scala:39).
+        // jaccardPairs sees the caller's cache, reuses it, and its release
+        // is a no-op (it must NOT drop blocks it didn't create), so the
+        // minhash pass that follows still scans the cache — at 100 TB the
+        // corpus is read and shingled ONCE for both passes instead of
+        // once per pass. Output: consensus pairs (flagged by both), the
+        // production triage shape — banding recall is probabilistic, so
+        // pairs confirmed by the exact path carry the Jaccard value.
+        val docs = Tables.documents(s, d)
+        val sh = graft.ops.RelationalOps.materialized(
+          Dedup.shingles(docs, "doc_id", "text", 3))
+        val jac = Dedup.jaccardPairs(sh, "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+        val mh = Dedup.minhashCandidates(
+          Dedup.minhashBuckets(Dedup.shingleIds(sh, useDictionaryIds = true),
+            "doc_id", numHashes = 16, rowsPerBand = 4),
+          "doc_id")
+        // materialize the consensus BEFORE releasing the shared shingle
+        // cache — the result is lazy and both inputs' lineages hang off sh
+        val out = graft.ops.RelationalOps.materialized(
+          jac.join(mh, Seq("id_a", "id_b")).orderBy("id_a", "id_b"))
+        sh.unpersist()
+        out
+      },
+      Some(s"""WITH $ShinglesCte
+              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |rare AS (SELECT shingle FROM sh GROUP BY shingle
+              |         HAVING count(*) <= 1000),
+              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              |          FROM shf a JOIN shf b ON a.shingle = b.shingle
+              |            AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |jp AS (SELECT id_a, id_b,
+              |         round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
+              |       FROM pairs
+              |       JOIN sizes na ON id_a = na.doc_id
+              |       JOIN sizes nb ON id_b = nb.doc_id
+              |       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
+              |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+              |         FROM (SELECT DISTINCT shingle FROM sh)),
+              |shids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+              |hp AS (SELECT i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+              |       FROM (VALUES ${hashParamValues(16)}) t(i, a, b)),
+              |sig AS (SELECT doc_id, i, min((a * sid + b) % 2147483647) AS mh
+              |        FROM shids, hp GROUP BY 1, 2),
+              |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+              |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bucket
+              |          FROM sig GROUP BY 1, 2),
+              |sized AS (SELECT band, bucket, count(*) AS bsz FROM bands
+              |          GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 1000),
+              |b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bucket)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM b2 a JOIN b2 b ON a.band = b.band
+              |           AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+              |SELECT jp.id_a, jp.id_b, jp.jaccard
+              |FROM jp JOIN cand USING (id_a, id_b)
+              |ORDER BY id_a, id_b""".stripMargin),
+      doc = "consensus dedup: exact-Jaccard AND minhash-LSH passes composed over ONE caller-persisted shingle frame — borrowMaterialized (RelationalOps.scala:39) reuses the caller's cache and releases nothing it didn't create, so the corpus is shingled once for both passes; oracle composes the q31 and q32 SQL verbatim"),
+
     // ---- SimHash near-dup pairs -----------------------------------------
     GQuery("q33_dedup_simhash",
       (s, d) => {
