@@ -136,4 +136,23 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r.returncode == 1 and "qb: no parquet dump found" in r.stdout, (
         r.returncode, r.stdout)
 
-print("verify_local self-test: 17 cases OK")
+    # ADVICE r17: an attempted scope holding ONLY rows-only queries must
+    # read as an explicit "nothing comparable" success, not FAILED
+    json.dump(["qmlz"], open(os.path.join(out, "attempted.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 0 and "nothing comparable in scope" in r.stdout, (
+        r.returncode, r.stdout)
+    # same via explicit CLI filter: a rows-only name (in attempted) is
+    # dropped with a note, a genuinely unknown name still fails
+    json.dump(["qa", "qmlz"], open(os.path.join(out, "attempted.json"), "w"))
+    r = run("verify_local.py", sf, out, "qmlz")
+    assert r.returncode == 0 and "nothing comparable in scope" in r.stdout, (
+        r.returncode, r.stdout)
+    r = run("verify_local.py", sf, out, "qa,qmlz")
+    assert r.returncode == 0 and "dropping 1 rows-only" in r.stdout \
+        and "PASS qa" in r.stdout, (r.returncode, r.stdout)
+    r = run("verify_local.py", sf, out, "q_typo")
+    assert r.returncode == 1 and "unknown query names" in r.stdout, (
+        r.returncode, r.stdout)
+
+print("verify_local self-test: 21 cases OK")

@@ -166,6 +166,15 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    attempted = None
+    attempted_path = os.path.join(out_dir, "attempted.json")
+    if os.path.exists(attempted_path):
+        attempted = set(json.load(open(attempted_path)))
+    # rows-only queries (registered, attempted, but oracle-less — the ML
+    # contract) are a legitimate part of a scope with nothing to compare;
+    # track them so an all-rows-only scope reads as "nothing comparable"
+    # (explicit exit 0 below), never as the zero-checked FAILURE path.
+    rows_only_in_scope = set()
     if only is None:
         # A filtered Verify run (SPARK_GRAFT_ONLY) declares its scope in
         # attempted.json while still dumping the FULL oracle map (for the
@@ -173,20 +182,37 @@ def main():
         # unfiltered re-check of a filtered dump dir compares exactly
         # what the run attempted — a query attempted but not dumped
         # (spark-side error) is still inside the scope and still FAILs.
-        attempted_path = os.path.join(out_dir, "attempted.json")
-        if os.path.exists(attempted_path):
-            # intersect with the oracle map: attempted also lists the
-            # rows-only ML queries, which have no oracle to compare
-            scope = set(json.load(open(attempted_path))) & set(oracle)
+        if attempted is not None:
+            scope = attempted & set(oracle)
+            rows_only_in_scope = attempted - set(oracle)
             if scope != set(oracle):
                 only = scope
                 print(f"NOTE scope from attempted.json: "
                       f"{len(only)}/{len(oracle)} oracle queries")
-    if only is not None:
-        unknown = sorted(only - set(oracle))
+    else:
+        unknown = set(only) - set(oracle)
+        if attempted is not None:
+            # a filter name outside the oracle map but inside the run's
+            # attempted manifest is a rows-only query, not a typo — drop
+            # it from the compare with a note instead of failing
+            rows_only_in_scope = unknown & attempted
+            unknown -= attempted
         if unknown:
-            print(f"FAIL unknown query names in filter (not in oracle_sql.json): {unknown}")
+            print(f"FAIL unknown query names in filter (not in oracle_sql.json): {sorted(unknown)}")
             sys.exit(1)
+        if rows_only_in_scope:
+            print(f"NOTE dropping {len(rows_only_in_scope)} rows-only "
+                  f"(no-oracle) queries from the compare: "
+                  f"{sorted(rows_only_in_scope)}")
+            only = only - rows_only_in_scope
+    if only is not None and not only and rows_only_in_scope:
+        # the scope held ONLY rows-only queries: nothing is comparable by
+        # construction — an explicit (warned) success, distinct from the
+        # genuine "asked for oracle queries, checked none" failure below
+        print(f"WARN nothing comparable in scope: "
+              f"{len(rows_only_in_scope)} rows-only queries, 0 oracle-backed "
+              f"— no DuckDB compare ran")
+        sys.exit(0)
     errors = {}
     errs_path = os.path.join(out_dir, "errors.json")
     if os.path.exists(errs_path):

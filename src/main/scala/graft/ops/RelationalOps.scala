@@ -198,13 +198,37 @@ object RelationalOps {
     * than the surviving shuffle outputs — silently duplicating or
     * dropping fact rows (the SPARK-23207 class, invisible in
     * single-attempt runs and live exactly at the cluster scale the
-    * salt guard exists for). Identical rows sharing a salt is fine:
-    * the salt only balances, it never changes the join result. */
+    * salt guard exists for). Identical rows sharing a salt is fine
+    * for CORRECTNESS — the salt only balances, it never changes the
+    * join result — but it is a balancing limitation: a hot key whose
+    * rows are exact duplicates (plausible in a pre-dedup corpus) all
+    * land on ONE salt, i.e. one task, exactly as if unsalted. Such
+    * keys need exact dedup (or a count pre-aggregation) first; no
+    * content-derived salt can split indistinguishable rows without
+    * reintroducing the retry-nondeterminism above.
+    *
+    * Unhashable column types (MapType, nested or top-level) are
+    * excluded from the salt hash — xxhash64 rejects them with an
+    * AnalysisException. The remaining columns still balance; in the
+    * degenerate all-map-schema case the salt is constant (balancing
+    * off, result still correct). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salts: Int): DataFrame = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          hashable(a.elementType)
+        case _ => true
+      }
+    val hashCols = fact.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toIndexedSeq
+    val saltBase =
+      if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts))
-        .cast("int"))
+      pmod(saltBase, lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
@@ -279,11 +303,32 @@ object RelationalOps {
     * may vary run-to-run (approx sketch), but the OUTPUT is invariant
     * to where the cuts land. Costs two extra narrow passes over the
     * union (per-key counts + hot-key quantiles), both map-side-combined
-    * — the default threshold disables the machinery entirely. */
+    * — the default threshold disables the machinery entirely.
+    *
+    * Cache lifecycle on the hot-key path: the union of both inputs is
+    * persisted (it fans into five consumers) and stays persisted for the
+    * LAZY result's consumers — this method cannot release it. Harness
+    * callers are covered (Verify/Bench clear caches between queries);
+    * long-lived library callers on the hot-key path should use
+    * [[asOfJoinWithRelease]] and call the release thunk once their own
+    * output is materialized, else one cached union of both inputs leaks
+    * per call (the connectedComponents release-thunk convention). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                time: String, out: String = "asof",
                hotKeyThreshold: Long = Long.MaxValue,
-               hotKeyBuckets: Int = 16): DataFrame = {
+               hotKeyBuckets: Int = 16): DataFrame =
+    asOfJoinWithRelease(left, right, key, time, out, hotKeyThreshold,
+      hotKeyBuckets)._1
+
+  /** [[asOfJoin]] returning a release thunk alongside the result: a no-op
+    * on the default single-window path (nothing is persisted there); on
+    * the hot-key path it drops the cached union this call created. Call
+    * it only AFTER materializing the result — the result plan reads the
+    * cache. */
+  def asOfJoinWithRelease(left: DataFrame, right: DataFrame, key: String,
+               time: String, out: String = "asof",
+               hotKeyThreshold: Long = Long.MaxValue,
+               hotKeyBuckets: Int = 16): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.types.StructType
     val rFields = right.schema.fields.filterNot(_.name == key)
     val lType = StructType(left.schema.fields)
@@ -301,10 +346,10 @@ object RelationalOps {
       val w = Window.partitionBy(col(key))
         .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      unioned
+      (unioned
         .withColumn(out, last(col("__r"), ignoreNulls = true).over(w))
         .filter(col("__side") === 1)
-        .select(col("__l.*"), col(out))
+        .select(col("__l.*"), col(out)), () => ())
     } else {
       require(hotKeyBuckets > 1,
         "asOfJoin: hotKeyBuckets must be > 1 when hot-key splitting is on")
@@ -313,14 +358,13 @@ object RelationalOps {
       // window, per-bucket-last, and spine subtrees). Unpersisted, the
       // full left+right lineage re-runs per consumer (~5 corpus scans
       // at scale); persisted, it runs once and the consumers scan the
-      // cache. Left persisted for the result's consumers, per the
-      // repo's harness convention (Verify/Bench clear caches between
-      // queries) — the result is lazy, so the blocks cannot be
-      // released inside this function.
-      val unioned = materialized(lPart.unionByName(rPart))
+      // cache. Left persisted for the result's consumers — the result
+      // is lazy, so the blocks cannot be released inside this function;
+      // ownership goes to the returned release thunk (see scaladoc).
+      val unionedM = materialized(unioned)
       // hot keys are few by definition (each holds > threshold rows), so
       // both the hot-key list and the per-key split points broadcast
-      val hot = unioned.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      val hot = unionedM.groupBy(col(key)).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > hotKeyThreshold).select(col(key))
       val probs = array((1 until hotKeyBuckets)
         .map(i => lit(i.toDouble / hotKeyBuckets)): _*)
@@ -332,21 +376,21 @@ object RelationalOps {
       // stitch a carry row. The collect is self-bounding: every hot key
       // holds > hotKeyThreshold rows, so there are at most
       // total/hotKeyThreshold rows here, independent of data scale.
-      val splitRows = unioned.join(broadcast(hot), Seq(key), "left_semi")
+      val splitRows = unionedM.join(broadcast(hot), Seq(key), "left_semi")
         .groupBy(col(key))
         .agg(percentile_approx(col("__t").cast("double"), probs,
           lit(10000)).as("__splits"))
         .collect()
       val splitSchema = org.apache.spark.sql.types.StructType(Seq(
-        unioned.schema(key),
+        unionedM.schema(key),
         org.apache.spark.sql.types.StructField("__splits",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType))))
-      val splits = unioned.sparkSession.createDataFrame(
+      val splits = unionedM.sparkSession.createDataFrame(
         java.util.Arrays.asList(splitRows: _*), splitSchema)
       // bucket = number of split points <= t: monotone in t, so every
       // bucket is a contiguous time range and equal times share a bucket
-      val withB = unioned.join(broadcast(splits), Seq(key), "left")
+      val withB = unionedM.join(broadcast(splits), Seq(key), "left")
         .withColumn("__bucket",
           when(col("__splits").isNull, lit(0)).otherwise(
             size(filter(col("__splits"),
@@ -373,10 +417,11 @@ object RelationalOps {
         .withColumn("__carry",
           last(col("__last_r"), ignoreNulls = true).over(wCarry))
         .select(col(key), col("__bucket"), col("__carry"))
-      windowed.join(carry, Seq(key, "__bucket"), "left")
+      (windowed.join(carry, Seq(key, "__bucket"), "left")
         .withColumn(out, coalesce(col("__run"), col("__carry")))
         .filter(col("__side") === 1)
-        .select(col("__l.*"), col(out))
+        .select(col("__l.*"), col(out)),
+        () => { unionedM.unpersist(); () })
     }
   }
 

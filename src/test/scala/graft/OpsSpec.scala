@@ -130,6 +130,20 @@ class OpsSpec extends AnyFunSuite {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("saltedJoin tolerates unhashable (MapType) fact columns") {
+    // xxhash64 over a MapType column throws AnalysisException; the salt
+    // must exclude such columns (ADVICE r17) and still join correctly
+    val fact = Seq((1, "x"), (1, "y"), (2, "z"))
+      .toDF("k", "v")
+      .withColumn("m", map(col("v"), col("k")))
+    val dim = Seq((1, "A"), (2, "B")).toDF("k", "d")
+    val salted = RelationalOps.saltedJoin(fact, dim, "k", salts = 4)
+      .select("k", "v", "d").as[(Int, String, String)].collect().sorted.toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .select("k", "v", "d").as[(Int, String, String)].collect().sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+  }
+
   test("writeBucketed table joins without exchange below the join") {
     val spark2 = spark
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
@@ -718,6 +732,33 @@ class OpsSpec extends AnyFunSuite {
     val planStr = split.queryExecution.executedPlan.toString
     assert(planStr.contains("__bucket"),
       s"window not bucket-partitioned:\n${planStr.take(2000)}")
+  }
+
+  test("asOfJoinWithRelease: hot-key path's release drops its cached union") {
+    // ADVICE r17: the hot path persists the tagged union for its five
+    // consumers and the lazy result cannot release it in-method — library
+    // callers get a release thunk (the connectedComponents convention)
+    val left = spark.range(2000).select(lit(1L).as("k"),
+      pmod(col("id") * 7, lit(9999)).as("t"), col("id").as("lv"))
+    val right = spark.range(200).select(lit(1L).as("k"),
+        pmod(col("id") * 31, lit(9999)).as("t"), col("id").as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (out, release) = RelationalOps.asOfJoinWithRelease(left, right,
+      "k", "t", "asof", hotKeyThreshold = 100L, hotKeyBuckets = 4)
+    val n = out.count() // materialize BEFORE releasing (the contract)
+    assert(n == 2000)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "hot path did not persist its union — the release test is vacuous")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() left cached blocks behind")
+    // default path: nothing persisted, release is a no-op
+    val (out2, release2) = RelationalOps.asOfJoinWithRelease(left, right,
+      "k", "t")
+    assert(out2.count() == 2000)
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    release2()
   }
 
   test("dictionary queries leave no persisted RDDs behind (zipWithRank lifecycle)") {
