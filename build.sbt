@@ -15,10 +15,14 @@ run / fork := true
 // forked-run logger decorates program stdout with "[info] " (BENCH_r06–r10
 // "parsed": null). StdoutOutput passes the child's stdout through verbatim.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-// every ScalaCheck case is a full Spark job on a small DataFrame —
-// bound the case count so properties stay seconds, not minutes
+// ScalaCheck case count: the per-round GATE default is 100 (r17 verdict —
+// the one-shot 100-case deepening ran green; at ~2× a cheap suite it is
+// pure depth). Every case is a full Spark job on a small DataFrame, so
+// iteration loops can dial down via SPARK_GRAFT_PROP_CASES (e.g. 10);
+// the default — what `sbt test` runs with no env — is the gate.
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaCheck,
-  "-minSuccessfulTests", "10", "-workers", "1")
+  "-minSuccessfulTests", sys.env.getOrElse("SPARK_GRAFT_PROP_CASES", "100"),
+  "-workers", "1")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

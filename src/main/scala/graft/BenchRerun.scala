@@ -1,0 +1,67 @@
+package graft
+
+/** The bench outlier re-run pass (protocol `…_rerun`, BASELINE.md).
+  *
+  * Twice (r16's uniform 1.55×, r17's q73/q75/q44/q85 at 3.3–28.7×) the
+  * round driver's single hot map manufactured apparent regressions on
+  * sub-second plans — GC pauses and host load land disproportionately on
+  * queries whose whole plan costs fractions of a second — and each cost a
+  * full round-trip to adjudicate against the builder's quiet-host band.
+  * This pass kills the false-regression class at the source: after the
+  * main loop, any query the PREVIOUS durable full map (the stamped
+  * builder run in `target/bench_out.json`) prices below 5s that this run
+  * reported at more than 3× that gets extra runs, and the minimum over
+  * all observed runs is reported. Bounded extra wall-clock by
+  * construction (only sub-5s-plan outliers re-run, each re-run is cheap
+  * because the plan is cheap); a genuine regression survives the extra
+  * samples and stays visible.
+  *
+  * Pure trigger logic, separated from Bench's harness so the planted
+  * trigger cases are testable without a SparkSession.
+  */
+object BenchRerun {
+
+  /** Reference plans priced at or above this are never re-run: the ML
+    * fits swing for real reasons (iteration counts, grid search) a
+    * min-report would hide; their noise is tracked as its own series. */
+  val SubCostCeiling = 5.0
+
+  /** Reported-over-reference ratio that classifies an environmental
+    * outlier. 3× sits far above the quiet-host band's per-query spread
+    * (median same-binary ratio 1.18 in the r17 adjudication) and below
+    * every manufactured regression seen so far (3.3–28.7×). */
+  val OutlierRatio = 3.0
+
+  /** Queries to re-run: reported a valid timing (not an error), the
+    * reference map prices the plan sub-5s, and this run exceeded 3× the
+    * reference. Absent or non-positive reference values cannot classify
+    * and never trigger. */
+  def rerunSet(reported: Map[String, Double],
+               reference: Map[String, Double]): Set[String] =
+    reported.collect {
+      case (name, v)
+          if v > 0.0 && reference.get(name).exists(r =>
+            r > 0.0 && r < SubCostCeiling && v > OutlierRatio * r) =>
+        name
+    }.toSet
+
+  /** Best-effort parse of a previous durable bench JSON's `"queries"`
+    * object into name → reported seconds. Any shape or parse problem —
+    * missing field, clipped file, non-numeric values — yields an empty
+    * map, which simply disarms the re-run pass (never fails the bench).
+    * Jackson rides the Spark classpath. */
+  def parseQueriesMap(json: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json)
+      val qs = root.get("queries")
+      if (qs == null || !qs.isObject) Map.empty
+      else {
+        val b = Map.newBuilder[String, Double]
+        qs.fields().forEachRemaining { e =>
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+}
