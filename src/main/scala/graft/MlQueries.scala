@@ -26,10 +26,20 @@ object MlQueries {
     // part scales with SF — leave the join strategy to AQE stats
     val df = li.join(p, li("l_partkey") === p("p_partkey"))
       .withColumn("buckets", when(col("l_quantity") < 25, 0.0).otherwise(1.0))
-    // (l_orderkey, l_linenumber) is a unique key → the sample under the
-    // limit is fully deterministic (TakeOrderedAndProject, no tie
-    // ambiguity), unlike an orderBy over non-unique columns
-    val bounded = df.orderBy("l_orderkey", "l_linenumber").limit(50000)
+    // The fixture's (l_orderkey, l_linenumber) is NOT unique (measured
+    // 45,832 distinct of 60,000 rows at sf0.01; r18) — an orderBy+limit
+    // over it is tie-ambiguous, and qml55's parity join on it silently
+    // became a partial cross product (78,078 of 50,000 expected rows).
+    // The FULL joined row tuple IS unique (measured at sf0.01 and
+    // sf0.1), so a content hash over every column is a deterministic
+    // total order (TakeOrderedAndProject, no tie ambiguity up to the
+    // negligible 64-bit collision odds) AND a genuine 1:1 key for the
+    // prediction-parity join. Content hash, not
+    // monotonically_increasing_id, for the same retry-determinism
+    // reason as saltedJoin's salt.
+    val keyed = df.withColumn("uid",
+      xxhash64(df.columns.map(col).toIndexedSeq: _*))
+    val bounded = keyed.orderBy("uid").limit(50000)
     FeaturePipeline.assembleAndScale(bounded,
       Seq("l_extendedprice", "l_discount", "l_tax", "p_retailprice", "p_size"))
   }
@@ -306,8 +316,27 @@ object MlQueries {
             "width_matches")
           .orderBy("id_col")
       },
-      None,
-      doc = "high-cardinality OneHotEncoder over the raw user/item ids — the reference's sparse design-matrix shape (fmreg.py:21-24, width 760,549 at full scale); onehot width must equal the distinct-id count"),
+      // Oracle-checked since r18 (was rows-only): every output column is
+      // relational — n_categories is a distinct count DuckDB recomputes
+      // from the ratings derivation, and a dense frequency-desc indexer
+      // (no nulls, handleInvalid skip) makes max_index+1 and the
+      // dropLast=false width EQUAL it, so the oracle pins all three as
+      // the same value plus the expected-TRUE claim.
+      Some("""WITH r AS (SELECT o.o_custkey AS user_id,
+             |             l.l_partkey AS item_id
+             |           FROM lineitem l
+             |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |           GROUP BY 1, 2),
+             |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+             |             CAST(count(DISTINCT item_id) AS BIGINT) AS i
+             |      FROM r)
+             |SELECT 'item_id' AS id_col, i AS n_categories,
+             |  i AS max_index_plus_1, i AS onehot_width,
+             |  TRUE AS width_matches FROM n
+             |UNION ALL
+             |SELECT 'user_id', u, u, u, TRUE FROM n
+             |ORDER BY id_col""".stripMargin),
+      doc = "high-cardinality OneHotEncoder over the raw user/item ids — the reference's sparse design-matrix shape (fmreg.py:21-24, width 760,549 at full scale); oracle pins n_categories = max_index+1 = onehot width, all equal to DuckDB's distinct-id count over the same ratings derivation"),
 
     // ---- M5 PCA loadings matrix ------------------------------------------
     GQuery("qml60_pca_loadings",
@@ -370,14 +399,15 @@ object MlQueries {
           "scaled_features", "buckets",
           Staging.dir("model", d))
         // prediction parity between the in-memory and reloaded model:
-        // every row must agree (n_diff = 0)
+        // every row must agree (n_diff = 0). Joined on the labeled
+        // sample's content-hash uid — the fixture's (l_orderkey,
+        // l_linenumber) is not unique (see labeled()), so a join on it
+        // would cross-pair rows within duplicate keys
         val a = fitted.transform(df)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            col("prediction").as("p1"))
+          .select(col("uid"), col("prediction").as("p1"))
         val b = reloaded.transform(df)
-          .select(col("l_orderkey"), col("l_linenumber"),
-            col("prediction").as("p2"))
-        val joined = a.join(b, Seq("l_orderkey", "l_linenumber"))
+          .select(col("uid"), col("prediction").as("p2"))
+        val joined = a.join(b, Seq("uid"))
         // materialize the 1-row comparison BEFORE unpersisting: the agg is
         // lazy, and Bench/Verify execute it only after this fn returns —
         // unpersisting first would recompute the whole labeled() lineage
@@ -389,7 +419,16 @@ object MlQueries {
         df.unpersist()
         Seq((nRows, nDiff)).toDF("n_rows", "n_diff")
       },
-      None,
-      doc = "S5 MLWritable save + load roundtrip (reference bgrfunctions.py:228,262,298,328,360); loaded model must predict identically")
+      // Oracle-checked since r18 (was rows-only): the model itself is not
+      // SQL-expressible but the roundtrip VERDICT is — n_rows is the
+      // bounded labeled-sample size (min of the 50k cap and the
+      // lineitem⋈part join count, which DuckDB recomputes), and bitwise
+      // prediction parity between the fitted and reloaded model means
+      // n_diff is exactly 0.
+      Some("""SELECT CAST(least(50000, (SELECT count(*) FROM lineitem l
+             |  JOIN part p ON l.l_partkey = p.p_partkey)) AS BIGINT)
+             |  AS n_rows,
+             |CAST(0 AS BIGINT) AS n_diff""".stripMargin),
+      doc = "S5 MLWritable save + load roundtrip (reference bgrfunctions.py:228,262,298,328,360); loaded model must predict identically — the verdict is oracle-checked: n_diff pinned to 0, n_rows to DuckDB's bounded join count")
   )
 }
