@@ -116,6 +116,17 @@ class ExtSpec extends AnyFunSuite {
       assert(sh.storageLevel !=
         org.apache.spark.storage.StorageLevel.NONE,
         "caller's cache was dropped by the helper")
+      // and a SECOND dedup pass over the same frame consumes the cache —
+      // the q97 composition's premise (one corpus shingling feeds both
+      // passes): its scan must be an InMemoryTableScan, not a re-run of
+      // the shingling lineage
+      val mh = Dedup.minhashBuckets(
+        Dedup.shingleIds(sh, useDictionaryIds = false), "doc_id",
+        numHashes = 8, rowsPerBand = 2)
+      assert(mh.count() > 0)
+      val plan = mh.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"second pass did not read the shared cache:\n${plan.take(1500)}")
     } finally sh.unpersist()
   }
 
