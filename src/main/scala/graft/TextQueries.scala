@@ -343,7 +343,37 @@ object TextQueries {
              |    + CASE WHEN doc_id % 11 = 0 THEN 15 ELSE 0 END AS BIGINT)
              |    AS len_clean
              |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "PII redaction over planted dirt: email/URL regexp_replace with fixed tags, row-local and codegen'd; outputs are deltas attributable to the planted dirt (base-text matches cancel), so the oracle recomputes counts and exact redacted lengths from the planting rule alone (never running a regex) and stays exact even if a future fixture generation plants PII-shaped strings in the base text")
+      doc = "PII redaction over planted dirt: email/URL regexp_replace with fixed tags, row-local and codegen'd; outputs are deltas attributable to the planted dirt (base-text matches cancel), so the oracle recomputes counts and exact redacted lengths from the planting rule alone (never running a regex) and stays exact even if a future fixture generation plants PII-shaped strings in the base text"),
+
+    // ---- overlapping document chunking ------------------------------------
+    GQuery("q98_doc_chunking",
+      (s, d) => {
+        // The canonical pre-tokenization pass: long documents cut into
+        // model-window-sized overlapping pieces (64-token windows, stride
+        // 48 → 16-token overlap), provenance preserved per piece —
+        // complements q91's cross-document packing. Pure map stage (HOFs,
+        // zero shuffle; see TextAnalysis.chunk). The oracle recomputes
+        // every chunk boundary AND the chunk text itself (as md5 — the
+        // text is bulky and md5 parity is established by q30) from the
+        // same slicing arithmetic in DuckDB.
+        graft.ext.TextAnalysis.chunk(Tables.documents(s, d), "doc_id",
+            "text", chunkLen = 64, stride = 48)
+          .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+            col("n_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |st AS (SELECT doc_id, t, i
+             |       FROM toks, unnest(generate_series(0,
+             |         greatest(len(t) - 1, 0), 48)) AS u(i))
+             |SELECT doc_id, CAST(i // 48 AS INTEGER) AS chunk_id,
+             |  CAST(i AS INTEGER) AS start_tok,
+             |  CAST(least(64, len(t) - i) AS INTEGER) AS n_tokens,
+             |  md5(array_to_string(t[i+1 : least(i+64, len(t))], ' '))
+             |    AS chunk_hash
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = "overlapping token-window chunking (64-token windows, stride 48): the pre-tokenization pass that cuts documents into model-window pieces with provenance — row-local HOF slicing, zero shuffle; every boundary, length, and the chunk text (md5) recomputed by DuckDB from the same arithmetic")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

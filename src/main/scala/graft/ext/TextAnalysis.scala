@@ -59,6 +59,36 @@ object TextAnalysis {
       + lit(0.2) * (lit(1.0) - punctRatio), 6)
   }
 
+  /** Overlapping token-window chunking — the canonical pre-tokenization
+    * pass of an LLM data pipeline (long documents → model-window-sized
+    * pieces; retrieval corpora → overlapping passages). Each chunk covers
+    * up to `chunkLen` whitespace tokens, consecutive chunk starts are
+    * `stride` apart (overlap = chunkLen − stride), the last chunk per doc
+    * may be shorter, and every doc emits at least one chunk. Entirely
+    * row-local (split → start sequence → slice/join per start →
+    * posexplode): codegen'd HOFs, ZERO shuffle — at 100 TB this is a pure
+    * map stage whose output row count is ~n_tokens/stride per doc, the
+    * intrinsic cost of the semantics. Complements q91's sequence packing
+    * (concat-then-chunk across docs): chunking stays within one document
+    * and preserves provenance per piece.
+    * Output: (idCol, chunk_id, start_tok, n_tokens, chunk_text). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"chunk: need 0 < stride ($stride) <= chunkLen ($chunkLen) — " +
+        "a stride above chunkLen silently drops tokens between chunks")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+          st => struct(st.as("start"),
+            least(lit(chunkLen), size(toks) - st).as("n"),
+            array_join(slice(toks, st + 1, lit(chunkLen)), " ").as("txt"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"), col("c.start").as("start_tok"),
+        col("c.n").as("n_tokens"), col("c.txt").as("chunk_text"))
+  }
+
   /** Global token dictionary (token → dense id by sorted rank), built with
     * a distributed sort + zipWithIndex ([[RelationalOps.zipWithRank]]) —
     * no single-partition Window. The dictionary is the oracle-parity path;

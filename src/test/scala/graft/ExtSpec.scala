@@ -130,6 +130,29 @@ class ExtSpec extends AnyFunSuite {
     } finally sh.unpersist()
   }
 
+  test("chunk: overlapping windows, exact boundaries, every doc chunks") {
+    val d = docs(1L -> (1 to 10).map("t" + _).mkString(" "), 2L -> "a",
+      3L -> "")
+    val out = TextAnalysis.chunk(d, "doc_id", "text",
+        chunkLen = 4, stride = 3)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().sorted.toSeq
+    assert(out == Seq(
+      // doc 1: 10 tokens → starts 0,3,6,9; 1-token overlap per pair
+      (1L, 0, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 3, 4, "t4 t5 t6 t7"),
+      (1L, 2, 6, 4, "t7 t8 t9 t10"),
+      (1L, 3, 9, 1, "t10"),
+      // short and empty docs still emit exactly one chunk (split("")
+      // yields one empty token — the tokenizer's convention, q37 parity)
+      (2L, 0, 0, 1, "a"),
+      (3L, 0, 0, 1, "")))
+    // a stride above chunkLen would silently drop tokens between chunks
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunk(d, "doc_id", "text", chunkLen = 3, stride = 4)
+    }
+  }
+
   test("simhashPairs pigeonhole banding == brute force") {
     // random 16-bit signatures; banding must find EXACTLY the pairs
     // within hamming <= 2 (recall 1 by pigeonhole)
