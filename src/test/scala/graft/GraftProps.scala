@@ -290,4 +290,29 @@ object GraftProps extends Properties("graft") {
           ranked.map(_._1).toSeq == xs.sorted
       }
     }
+
+  property("chunk: full coverage, exact boundaries, stride-aligned starts") =
+    forAll(Gen.choose(1, 30), Gen.choose(1, 8), Gen.choose(1, 8)) {
+      (nTok, chunkLen, strideRaw) =>
+        val stride = math.min(strideRaw, chunkLen) // contract: stride ≤ len
+        val toks = (1 to nTok).map(i => s"w$i")
+        val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+        val out = graft.ext.TextAnalysis
+          .chunk(df, "doc_id", "text", chunkLen, stride)
+          .select("chunk_id", "start_tok", "n_tokens", "chunk_text")
+          .as[(Int, Int, Int, String)].collect().sortBy(_._1).toSeq
+        // claims (TextAnalysis.chunk): starts are 0, stride, 2·stride …
+        // ≤ nTok−1; each chunk is EXACTLY tokens [start, start+n) with
+        // n = min(chunkLen, nTok−start); stride ≤ chunkLen ⇒ every token
+        // index is covered by at least one chunk
+        val startsOk = out.zipWithIndex.forall { case ((cid, st, _, _), i) =>
+          cid == i && st == i * stride && st <= nTok - 1
+        }
+        val contentOk = out.forall { case (_, st, n, txt) =>
+          n == math.min(chunkLen, nTok - st) &&
+            txt == toks.slice(st, st + n).mkString(" ")
+        }
+        val covered = out.flatMap { case (_, st, n, _) => st until st + n }
+        startsOk && contentOk && covered.toSet == (0 until nTok).toSet
+    }
 }
