@@ -155,4 +155,27 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r.returncode == 1 and "unknown query names" in r.stdout, (
         r.returncode, r.stdout)
 
-print("verify_local self-test: 21 cases OK")
+    # a rows-only query that ERRORED spark-side must FAIL, never read as
+    # the "nothing comparable" success (r18 review finding)
+    json.dump(["qmlz"], open(os.path.join(out, "attempted.json"), "w"))
+    json.dump({"qmlz": "RuntimeException: boom"},
+              open(os.path.join(out, "errors.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 1 and "spark-side error (rows-only" in r.stdout, (
+        r.returncode, r.stdout)
+    # same in a MIXED scope: the oracle query passes but the errored
+    # rows-only query still fails the run
+    json.dump(["qa", "qmlz"], open(os.path.join(out, "attempted.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 1 and "PASS qa" in r.stdout \
+        and "spark-side error (rows-only" in r.stdout, (r.returncode, r.stdout)
+    # error cleared: both shortcut paths go back to green
+    json.dump({}, open(os.path.join(out, "errors.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 0 and "PASS qa" in r.stdout, (r.returncode, r.stdout)
+    json.dump(["qmlz"], open(os.path.join(out, "attempted.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 0 and "nothing comparable in scope" in r.stdout, (
+        r.returncode, r.stdout)
+
+print("verify_local self-test: 25 cases OK")

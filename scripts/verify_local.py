@@ -170,6 +170,14 @@ def main():
     attempted_path = os.path.join(out_dir, "attempted.json")
     if os.path.exists(attempted_path):
         attempted = set(json.load(open(attempted_path)))
+    # errors.json loads BEFORE any scope shortcut: a rows-only query that
+    # crashed spark-side must FAIL the run even though it has no oracle to
+    # compare — the "attempted but errored still FAILs" invariant applies
+    # to the whole attempted scope, not only its oracle-backed part.
+    errors = {}
+    errs_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(errs_path):
+        errors = json.load(open(errs_path))
     # rows-only queries (registered, attempted, but oracle-less — the ML
     # contract) are a legitimate part of a scope with nothing to compare;
     # track them so an all-rows-only scope reads as "nothing comparable"
@@ -205,24 +213,32 @@ def main():
                   f"(no-oracle) queries from the compare: "
                   f"{sorted(rows_only_in_scope)}")
             only = only - rows_only_in_scope
+    rows_only_errors = sorted(rows_only_in_scope & set(errors))
     if only is not None and not only and rows_only_in_scope:
         # the scope held ONLY rows-only queries: nothing is comparable by
         # construction — an explicit (warned) success, distinct from the
-        # genuine "asked for oracle queries, checked none" failure below
+        # genuine "asked for oracle queries, checked none" failure below.
+        # Unless one of them ERRORED spark-side: that is a failed run, not
+        # a no-compare success.
+        if rows_only_errors:
+            for n in rows_only_errors:
+                print(f"FAIL {n}: spark-side error (rows-only query): "
+                      f"{errors[n]}")
+            print("FAILED: 0 queries value-matched")
+            sys.exit(1)
         print(f"WARN nothing comparable in scope: "
               f"{len(rows_only_in_scope)} rows-only queries, 0 oracle-backed "
               f"— no DuckDB compare ran")
         sys.exit(0)
-    errors = {}
-    errs_path = os.path.join(out_dir, "errors.json")
-    if os.path.exists(errs_path):
-        errors = json.load(open(errs_path))
-
     con = duckdb.connect()
     register_views(con, sf_dir)
 
     ok = True
     n_checked = 0
+    # rows-only queries never enter the compare loop below (they are not
+    # in the oracle map), so their spark-side errors surface here
+    for n in rows_only_errors:
+        ok = fail(f"{n}: spark-side error (rows-only query): {errors[n]}")
     for name in sorted(oracle):
         if only is not None and name not in only:
             continue

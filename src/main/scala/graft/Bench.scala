@@ -136,26 +136,37 @@ object Bench {
       def once(): (Double, Option[String]) = runOnce(q)
       val first = once()
       var runs = if (first._2.isEmpty) Seq(first, once()) else Seq(first)
+      // `ok` re-checked after every append: a failure on the 3rd run must
+      // both stop the protocol (no 4th/5th run of a known-failed query)
+      // and force reported = -1 — previously only the first two runs
+      // could set the sentinel, so a late failure left a positive
+      // median for downstream consumers (the re-run pass) while the
+      // JSON said -1.
+      def ok = runs.forall(_._2.isEmpty)
+      if (ok && runs.map(_._1).min < 5.0) {
+        runs = runs :+ once()
+        if (ok && runs.map(_._1).min < 2.0)
+          runs = runs ++ Seq(once(), once())
+      }
       val reported =
-        if (runs.exists(_._2.isDefined)) -1.0
-        else if (runs.map(_._1).min < 5.0) {
-          runs = runs :+ once()
-          if (runs.map(_._1).min < 2.0) {
-            runs = runs ++ Seq(once(), once())
-            runs.map(_._1).sorted.apply(2) // median of 5
-          } else runs.map(_._1).sorted.apply(1) // median of 3
-        } else runs.map(_._1).min
+        if (!ok) -1.0
+        else runs.size match {
+          case 5 => runs.map(_._1).sorted.apply(2) // median of 5
+          case 3 => runs.map(_._1).sorted.apply(1) // median of 3
+          case _ => runs.map(_._1).min
+        }
       val err = runs.flatMap(_._2).headOption
       (q.name, reported, err, runs.map(_._1))
     }
     // ---- outlier re-run pass (protocol _rerun; BenchRerun.scala) --------
     // Reference = the previous durable FULL map at its default path, read
-    // here (after the loop, before this run overwrites it). Unreadable or
-    // absent reference simply disarms the pass.
+    // here (after the loop, before this run overwrites it). Unreadable,
+    // absent, or DIFFERENT-SCALE reference (the artifact's own "sf"
+    // stamp vs this run's sfDir) simply disarms the pass.
     val reference: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("target/bench_out.json")
       if (java.nio.file.Files.exists(p))
-        BenchRerun.parseQueriesMap(java.nio.file.Files.readString(p))
+        BenchRerun.referenceFor(java.nio.file.Files.readString(p), sfDir)
       else Map.empty
     } catch { case e: Throwable =>
       System.err.println(s"[bench] reference map unreadable (re-run pass disarmed): $e")

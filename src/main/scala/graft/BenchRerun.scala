@@ -64,4 +64,20 @@ object BenchRerun {
         b.result()
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** The reference map USABLE for a run against `sfDir`: empty unless the
+    * artifact's own `"sf"` stamp matches. A reference priced at a smaller
+    * scale factor would mass-trigger spurious re-runs at a larger one
+    * (every sub-5s-at-sf0.1 query legitimately reads >3× at sf1), each
+    * re-run paid at THIS run's scale — the "bounded extra wall-clock"
+    * premise only holds against a same-scale reference. A missing sf
+    * stamp (pre-r18 artifact) also disarms. */
+  def referenceFor(json: String, sfDir: String): Map[String, Double] = {
+    val sf = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json).get("sf")
+      if (node != null && node.isTextual) node.asText() else ""
+    } catch { case _: Throwable => "" }
+    if (sf == sfDir) parseQueriesMap(json) else Map.empty
+  }
 }

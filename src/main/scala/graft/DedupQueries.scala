@@ -25,6 +25,41 @@ object DedupQueries {
       s"($i, $a, $b)"
     }.mkString(", ")
 
+  /** Shared oracle CTE block (follows [[ShinglesCte]]): df-capped
+    * inverted-index pair counts `pairs(id_a, id_b, c)` with TRUE set
+    * sizes — ONE definition for every oracle that recomputes
+    * `Dedup.jaccardPairs` (q31, q87, q97), so a change to the stop-
+    * shingle cap or pair rule cannot drift between them. No trailing
+    * comma: callers append `,` when more CTEs follow. */
+  private val PairsCte =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |rare AS (SELECT shingle FROM sh GROUP BY shingle
+      |         HAVING count(*) <= 1000),
+      |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |          FROM shf a JOIN shf b ON a.shingle = b.shingle
+      |            AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle CTE chain (follows [[ShinglesCte]]): dictionary
+    * shingle ids → minhash signatures → banding → size-capped bucket
+    * join `b2` — ONE definition for every oracle that recomputes
+    * `Dedup.minhashBuckets` (q32, q97). No trailing comma. */
+  private def minhashCtes(numHashes: Int, rowsPerBand: Int): String =
+    s"""dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+       |         FROM (SELECT DISTINCT shingle FROM sh)),
+       |shids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+       |hp AS (SELECT i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+       |       FROM (VALUES ${hashParamValues(numHashes)}) t(i, a, b)),
+       |sig AS (SELECT doc_id, i, min((a * sid + b) % 2147483647) AS mh
+       |        FROM shids, hp GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, CAST(i // $rowsPerBand AS INTEGER) AS band,
+       |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bucket
+       |          FROM sig GROUP BY 1, 2),
+       |sized AS (SELECT band, bucket, count(*) AS bsz FROM bands
+       |          GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 1000),
+       |b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bucket))""".stripMargin
+
   val all: Seq[GQuery] = Seq(
 
     // ---- exact dedup by content hash ------------------------------------
@@ -46,14 +81,7 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $ShinglesCte
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              |rare AS (SELECT shingle FROM sh GROUP BY shingle
-              |         HAVING count(*) <= 1000),
-              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              |          FROM shf a JOIN shf b ON a.shingle = b.shingle
-              |            AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2)
+              |$PairsCte
               |SELECT id_a, id_b,
               |  round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
               |FROM pairs
@@ -155,19 +183,7 @@ object DedupQueries {
         Dedup.minhashCandidates(bk, "doc_id").orderBy("id_a", "id_b")
       },
       Some(s"""WITH $ShinglesCte
-              |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-              |         FROM (SELECT DISTINCT shingle FROM sh)),
-              |shids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
-              |hp AS (SELECT i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-              |       FROM (VALUES ${hashParamValues(16)}) t(i, a, b)),
-              |sig AS (SELECT doc_id, i, min((a * sid + b) % 2147483647) AS mh
-              |        FROM shids, hp GROUP BY 1, 2),
-              |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-              |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bucket
-              |          FROM sig GROUP BY 1, 2),
-              |sized AS (SELECT band, bucket, count(*) AS bsz FROM bands
-              |          GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 1000),
-              |b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bucket))
+              |${minhashCtes(16, 4)}
               |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               |FROM b2 a JOIN b2 b ON a.band = b.band AND a.bucket = b.bucket
               |  AND a.doc_id < b.doc_id
@@ -214,14 +230,7 @@ object DedupQueries {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $ShinglesCte
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              |rare AS (SELECT shingle FROM sh GROUP BY shingle
-              |         HAVING count(*) <= 1000),
-              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              |          FROM shf a JOIN shf b ON a.shingle = b.shingle
-              |            AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2)
+              |$PairsCte
               |SELECT id_a, id_b,
               |  round(c*1.0/(na.n + nb.n - c), 6) AS jaccard,
               |  TRUE AS caught
@@ -264,40 +273,21 @@ object DedupQueries {
         out
       },
       Some(s"""WITH $ShinglesCte
-              |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-              |rare AS (SELECT shingle FROM sh GROUP BY shingle
-              |         HAVING count(*) <= 1000),
-              |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              |          FROM shf a JOIN shf b ON a.shingle = b.shingle
-              |            AND a.doc_id < b.doc_id
-              |          GROUP BY 1, 2),
+              |$PairsCte,
               |jp AS (SELECT id_a, id_b,
               |         round(c*1.0/(na.n + nb.n - c), 6) AS jaccard
               |       FROM pairs
               |       JOIN sizes na ON id_a = na.doc_id
               |       JOIN sizes nb ON id_b = nb.doc_id
               |       WHERE c*1.0/(na.n + nb.n - c) >= 0.5),
-              |dict AS (SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-              |         FROM (SELECT DISTINCT shingle FROM sh)),
-              |shids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
-              |hp AS (SELECT i, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
-              |       FROM (VALUES ${hashParamValues(16)}) t(i, a, b)),
-              |sig AS (SELECT doc_id, i, min((a * sid + b) % 2147483647) AS mh
-              |        FROM shids, hp GROUP BY 1, 2),
-              |bands AS (SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
-              |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bucket
-              |          FROM sig GROUP BY 1, 2),
-              |sized AS (SELECT band, bucket, count(*) AS bsz FROM bands
-              |          GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 1000),
-              |b2 AS (SELECT bands.* FROM bands JOIN sized USING (band, bucket)),
+              |${minhashCtes(16, 4)},
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               |         FROM b2 a JOIN b2 b ON a.band = b.band
               |           AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
               |SELECT jp.id_a, jp.id_b, jp.jaccard
               |FROM jp JOIN cand USING (id_a, id_b)
               |ORDER BY id_a, id_b""".stripMargin),
-      doc = "consensus dedup: exact-Jaccard AND minhash-LSH passes composed over ONE caller-persisted shingle frame — borrowMaterialized (RelationalOps.scala:39) reuses the caller's cache and releases nothing it didn't create, so the corpus is shingled once for both passes; oracle composes the q31 and q32 SQL verbatim"),
+      doc = "consensus dedup: exact-Jaccard AND minhash-LSH passes composed over ONE caller-persisted shingle frame — borrowMaterialized (RelationalOps.scala:39) reuses the caller's cache and releases nothing it didn't create, so the corpus is shingled once for both passes; oracle composes the q31 and q32 SQL from the SAME shared CTE definitions (PairsCte / minhashCtes — one source of truth)"),
 
     // ---- SimHash near-dup pairs -----------------------------------------
     GQuery("q33_dedup_simhash",

@@ -3,11 +3,17 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ml.{Classifiers, FeaturePipeline, Recsys}
 
-/** ML-layer queries (SURVEY.md §2.9). Vector-typed / model outputs are not
-  * SQL-expressible, so these carry no oracle (the contract's rows-only
-  * check, `SparkEntry.scala:10-11`); exact-metric coverage lives in the
-  * ScalaTest suite. Inputs are derived deterministically from the
-  * fixtures; all seeds pinned.
+/** ML-layer queries (SURVEY.md §2.9). Raw vector payloads and fitted-model
+  * internals are not SQL-expressible, so SOME of these carry no oracle
+  * (the contract's rows-only check, `SparkEntry.scala:10-11`) — but a qml
+  * prefix does NOT imply rows-only: since r18, every ML query whose
+  * output has checkable semantics carries one (qml52/qml57/qml60 via
+  * invariant claims + DuckDB-recomputable values, qml55/qml59 via exact
+  * values; the q76/q77 expected-TRUE pattern). The remaining rows-only
+  * entries (qml50/51/53/54/56/58) are genuinely non-expressible model
+  * outputs; their exact-metric coverage lives in the ScalaTest suite.
+  * Inputs are derived deterministically from the fixtures; all seeds
+  * pinned.
   */
 object MlQueries {
 
@@ -134,8 +140,7 @@ object MlQueries {
         val e = Tables.embeddings(s, d).withColumn("features",
           org.apache.spark.ml.functions.array_to_vector(
             col("embedding").cast("array<double>")))
-        val model = new org.apache.spark.ml.feature.PCA()
-          .setInputCol("features").setOutputCol("pca").setK(k).fit(e)
+        val model = FeaturePipeline.pcaModel(e, "features", "pca", k)
         val pc = model.pc // dims × k, column-major: P(d,j) = values(j·dims+d)
         val dims = pc.numRows
         val pcLit = lit(pc.values)
@@ -188,10 +193,14 @@ object MlQueries {
         // via vector-native Summarizer — one buffer per partial, the q81
         // lesson, not a dims× exploded shuffle.
         val k = 16
-        val e = Tables.embeddings(s, d).withColumn("features",
-          array_to_vector(col("embedding").cast("array<double>")))
-        val model = new org.apache.spark.ml.feature.PCA()
-          .setInputCol("features").setOutputCol("pca").setK(k).fit(e)
+        // this query consumes the converted frame FOUR times (fit, the
+        // two variance aggregates, transform) — persist once; everything
+        // below is collected to driver values, so the cache releases
+        // before return (no lazy consumer, unlike qml52's output)
+        val e = graft.ops.RelationalOps.materialized(
+          Tables.embeddings(s, d).withColumn("features",
+            array_to_vector(col("embedding").cast("array<double>"))))
+        val model = FeaturePipeline.pcaModel(e, "features", "pca", k)
         val ev = model.explainedVariance.toArray
         val inVar = e.select(Summarizer.variance(col("features")).as("v"))
           .select(vector_to_array(col("v"))).head().getSeq[Double](0)
@@ -199,6 +208,7 @@ object MlQueries {
         val projVar = model.transform(e)
           .select(Summarizer.variance(col("pca")).as("v"))
           .select(vector_to_array(col("v"))).head().getSeq[Double](0)
+        e.unpersist()
         ev.zipWithIndex.map { case (r, i) =>
           (i + 1, math.rint(trace * 1e6) / 1e6,
             math.abs(projVar(i) / trace - r) <= 1e-9,
@@ -359,9 +369,8 @@ object MlQueries {
         val e = Tables.embeddings(s, d).withColumn("features",
           org.apache.spark.ml.functions.array_to_vector(
             col("embedding").cast("array<double>")))
-        val model = new org.apache.spark.ml.feature.PCA()
-          .setInputCol("features").setOutputCol("pca").setK(k).fit(e)
-        val pc = model.pc // dims × k, column-major
+        val pc = FeaturePipeline.pcaModel(e, "features", "pca", k).pc
+        // dims × k, column-major
         (for (i <- 0 until k; j <- 0 until k) yield {
           val dot = (0 until pc.numRows).map(r => pc(r, i) * pc(r, j)).sum
           (i + 1, j + 1, math.rint(dot * 1e6) / 1e6, pc.numRows)

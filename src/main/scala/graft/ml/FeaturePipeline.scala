@@ -48,8 +48,16 @@ object FeaturePipeline {
     new Pipeline().setStages(Array(assembler, scaler)).fit(df).transform(df)
   }
 
-  /** M5: PCA projection (reference `bgrfunctions.py:172-177`, k=15 in v2). */
+  /** M5: fitted PCA model (reference `bgrfunctions.py:172-177`, k=15 in
+    * v2). Returned as the MODEL, not the projection, because every
+    * oracle-checked consumer needs the fitted artifacts too: qml52 folds
+    * `model.pc` into its in-plan reconstruction claim, qml57 reads
+    * `explainedVariance`, qml60 emits the loadings' Gram matrix. */
+  def pcaModel(df: DataFrame, in: String, out: String,
+               k: Int): org.apache.spark.ml.feature.PCAModel =
+    new PCA().setInputCol(in).setOutputCol(out).setK(k).fit(df)
+
+  /** M5: PCA projection — [[pcaModel]] applied. */
   def pca(df: DataFrame, in: String, out: String, k: Int): DataFrame =
-    new PCA().setInputCol(in).setOutputCol(out).setK(k)
-      .fit(df).transform(df)
+    pcaModel(df, in, out, k).transform(df)
 }

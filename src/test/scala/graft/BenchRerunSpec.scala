@@ -62,6 +62,19 @@ class BenchRerunSpec extends AnyFunSuite {
       """{"queries":{"qa":"fast"}}""").isEmpty)
   }
 
+  test("referenceFor: a different-scale or unstamped reference disarms") {
+    val stamped = """{"sf":"/root/testdata/sf0.1","queries":{"qa":0.3}}"""
+    assert(BenchRerun.referenceFor(stamped, "/root/testdata/sf0.1") ==
+      Map("qa" -> 0.3))
+    // sf1 run against an sf0.1 reference: every sub-5s query would read
+    // >3x for legitimate reasons — the pass must disarm, not mass-fire
+    assert(BenchRerun.referenceFor(stamped, "/root/testdata/sf1").isEmpty)
+    // pre-r18 artifact without an sf stamp, or clipped JSON: disarm
+    assert(BenchRerun.referenceFor("""{"queries":{"qa":0.3}}""",
+      "/root/testdata/sf0.1").isEmpty)
+    assert(BenchRerun.referenceFor("{clipped", "/root/testdata/sf0.1").isEmpty)
+  }
+
   test("end-to-end: parsed reference + reported map yields the r17 verdict") {
     val durable =
       """{"metric":"total","queries":{"q73_stratified_sample":0.31,
