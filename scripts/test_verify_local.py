@@ -125,7 +125,10 @@ with tempfile.TemporaryDirectory() as tmp:
               open(os.path.join(out, "oracle_sql.json"), "w"))
     pq_w.write_table(pa.table({"x": pa.array([1], pa.int64())}),
                      os.path.join(out, "qa", "part-0.parquet"))
-    # qmlz: rows-only entries appear in attempted but not in the oracle
+    # qmlz: rows-only entries appear in attempted but not in the oracle.
+    # errors.json={} marks the run as having COMPLETED (Verify writes it
+    # last; its absence next to a manifest now reads as interrupted).
+    json.dump({}, open(os.path.join(out, "errors.json"), "w"))
     json.dump(["qa", "qmlz"], open(os.path.join(out, "attempted.json"), "w"))
     r = run("verify_local.py", sf, out)
     assert r.returncode == 0 and "scope from attempted.json: 1/2" in r.stdout \
@@ -178,4 +181,20 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r.returncode == 0 and "nothing comparable in scope" in r.stdout, (
         r.returncode, r.stdout)
 
-print("verify_local self-test: 25 cases OK")
+    # an INTERRUPTED run (manifest written, errors.json never reached —
+    # Verify writes it last) must FAIL, never shortcut to "nothing
+    # comparable" (second r18 review pass)
+    os.remove(os.path.join(out, "errors.json"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 1 and "interrupted Verify run" in r.stdout, (
+        r.returncode, r.stdout)
+    # without a manifest, a recorded spark-side error on a NON-oracle
+    # (rows-only) query must still fail — there is no scope to excuse it
+    os.remove(os.path.join(out, "attempted.json"))
+    json.dump({"qml_other": "OOM"},
+              open(os.path.join(out, "errors.json"), "w"))
+    r = run("verify_local.py", sf, out)
+    assert r.returncode == 1 and "spark-side error (rows-only" in r.stdout, (
+        r.returncode, r.stdout)
+
+print("verify_local self-test: 27 cases OK")

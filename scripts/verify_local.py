@@ -178,6 +178,17 @@ def main():
     errs_path = os.path.join(out_dir, "errors.json")
     if os.path.exists(errs_path):
         errors = json.load(open(errs_path))
+    elif attempted is not None:
+        # Verify deletes errors.json up front and writes it LAST
+        # (Verify.scala): a manifest without it is an interrupted run.
+        # Oracle queries would surface as missing-dump FAILs anyway;
+        # rows-only queries leave no dump, so without this check a
+        # mid-flight crash on an all-rows-only scope would certify green
+        # via the "nothing comparable" shortcut below.
+        print("FAIL interrupted Verify run: attempted.json present but "
+              "errors.json missing (Verify writes errors.json last) — "
+              "re-run Verify")
+        sys.exit(1)
     # rows-only queries (registered, attempted, but oracle-less — the ML
     # contract) are a legitimate part of a scope with nothing to compare;
     # track them so an all-rows-only scope reads as "nothing comparable"
@@ -213,17 +224,30 @@ def main():
                   f"(no-oracle) queries from the compare: "
                   f"{sorted(rows_only_in_scope)}")
             only = only - rows_only_in_scope
-    rows_only_errors = sorted(rows_only_in_scope & set(errors))
+    # Spark-side errors on queries the compare loop will never see (they
+    # are not in the oracle map). With a manifest: the rows-only part of
+    # the scope. Without one: every non-oracle error key — there is no
+    # scope to exclude them, and ignoring a recorded crash is the unsafe
+    # direction.
+    rows_only_errors = sorted(
+        (rows_only_in_scope if attempted is not None
+         else set(errors) - set(oracle)) & set(errors))
+
+    def fail_rows_only_errors():
+        bad = False
+        for n in rows_only_errors:
+            bad = True
+            print(f"FAIL {n}: spark-side error (rows-only query): "
+                  f"{errors[n]}")
+        return bad
+
     if only is not None and not only and rows_only_in_scope:
         # the scope held ONLY rows-only queries: nothing is comparable by
         # construction — an explicit (warned) success, distinct from the
         # genuine "asked for oracle queries, checked none" failure below.
         # Unless one of them ERRORED spark-side: that is a failed run, not
         # a no-compare success.
-        if rows_only_errors:
-            for n in rows_only_errors:
-                print(f"FAIL {n}: spark-side error (rows-only query): "
-                      f"{errors[n]}")
+        if fail_rows_only_errors():
             print("FAILED: 0 queries value-matched")
             sys.exit(1)
         print(f"WARN nothing comparable in scope: "
@@ -237,8 +261,8 @@ def main():
     n_checked = 0
     # rows-only queries never enter the compare loop below (they are not
     # in the oracle map), so their spark-side errors surface here
-    for n in rows_only_errors:
-        ok = fail(f"{n}: spark-side error (rows-only query): {errors[n]}")
+    if fail_rows_only_errors():
+        ok = False
     for name in sorted(oracle):
         if only is not None and name not in only:
             continue

@@ -145,8 +145,10 @@ object Bench {
       def ok = runs.forall(_._2.isEmpty)
       if (ok && runs.map(_._1).min < 5.0) {
         runs = runs :+ once()
-        if (ok && runs.map(_._1).min < 2.0)
-          runs = runs ++ Seq(once(), once())
+        if (ok && runs.map(_._1).min < 2.0) {
+          runs = runs :+ once()
+          if (ok) runs = runs :+ once() // a 4th-run failure stops the 5th
+        }
       }
       val reported =
         if (!ok) -1.0

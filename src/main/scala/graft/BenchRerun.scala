@@ -51,33 +51,45 @@ object BenchRerun {
     * map, which simply disarms the re-run pass (never fails the bench).
     * Jackson rides the Spark classpath. */
   def parseQueriesMap(json: String): Map[String, Double] =
+    try queriesOf(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json))
+    catch { case _: Throwable => Map.empty }
+
+  private def queriesOf(
+      root: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+    val qs = root.get("queries")
+    if (qs == null || !qs.isObject) Map.empty
+    else {
+      val b = Map.newBuilder[String, Double]
+      qs.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+  }
+
+  /** The reference map USABLE for a run against `sfDir`: empty unless the
+    * artifact's own `"sf"` stamp names the same directory (trailing
+    * slashes ignored — the realistic benign-respelling class). A
+    * reference priced at a smaller scale factor would mass-trigger
+    * spurious re-runs at a larger one (every sub-5s-at-sf0.1 query
+    * legitimately reads >3× at sf1), each re-run paid at THIS run's
+    * scale — the "bounded extra wall-clock" premise only holds against a
+    * same-scale reference. A missing sf stamp (pre-r18 artifact) also
+    * disarms. Disarms are NOTED on stderr: silence would make the
+    * r16/r17 false-regression protection unobservably off. */
+  def referenceFor(json: String, sfDir: String): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(json)
-      val qs = root.get("queries")
-      if (qs == null || !qs.isObject) Map.empty
+      val node = root.get("sf")
+      val sf = if (node != null && node.isTextual) node.asText() else ""
+      def norm(p: String) = p.replaceAll("/+$", "")
+      if (sf.nonEmpty && norm(sf) == norm(sfDir)) queriesOf(root)
       else {
-        val b = Map.newBuilder[String, Double]
-        qs.fields().forEachRemaining { e =>
-          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-        }
-        b.result()
+        System.err.println(s"[bench] reference sf stamp '$sf' does not " +
+          s"match this run's '$sfDir' — re-run pass disarmed")
+        Map.empty
       }
     } catch { case _: Throwable => Map.empty }
-
-  /** The reference map USABLE for a run against `sfDir`: empty unless the
-    * artifact's own `"sf"` stamp matches. A reference priced at a smaller
-    * scale factor would mass-trigger spurious re-runs at a larger one
-    * (every sub-5s-at-sf0.1 query legitimately reads >3× at sf1), each
-    * re-run paid at THIS run's scale — the "bounded extra wall-clock"
-    * premise only holds against a same-scale reference. A missing sf
-    * stamp (pre-r18 artifact) also disarms. */
-  def referenceFor(json: String, sfDir: String): Map[String, Double] = {
-    val sf = try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(json).get("sf")
-      if (node != null && node.isTextual) node.asText() else ""
-    } catch { case _: Throwable => "" }
-    if (sf == sfDir) parseQueriesMap(json) else Map.empty
-  }
 }

@@ -73,6 +73,13 @@ class BenchRerunSpec extends AnyFunSuite {
     assert(BenchRerun.referenceFor("""{"queries":{"qa":0.3}}""",
       "/root/testdata/sf0.1").isEmpty)
     assert(BenchRerun.referenceFor("{clipped", "/root/testdata/sf0.1").isEmpty)
+    // benign respelling (trailing slash) of the SAME directory must NOT
+    // disarm — a silent permanent disarm would be unobservable
+    assert(BenchRerun.referenceFor(stamped, "/root/testdata/sf0.1/") ==
+      Map("qa" -> 0.3))
+    assert(BenchRerun.referenceFor(
+      """{"sf":"/root/testdata/sf0.1//","queries":{"qa":0.3}}""",
+      "/root/testdata/sf0.1") == Map("qa" -> 0.3))
   }
 
   test("end-to-end: parsed reference + reported map yields the r17 verdict") {
