@@ -196,5 +196,10 @@ with tempfile.TemporaryDirectory() as tmp:
     r = run("verify_local.py", sf, out)
     assert r.returncode == 1 and "spark-side error (rows-only" in r.stdout, (
         r.returncode, r.stdout)
+    # ...but an explicit CLI filter IS a declared scope: the same stray
+    # error outside it is skipped, like out-of-filter oracle errors
+    r = run("verify_local.py", sf, out, "qa")
+    assert r.returncode == 0 and "PASS qa" in r.stdout, (
+        r.returncode, r.stdout)
 
-print("verify_local self-test: 27 cases OK")
+print("verify_local self-test: 28 cases OK")

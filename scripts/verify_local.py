@@ -226,20 +226,23 @@ def main():
             only = only - rows_only_in_scope
     # Spark-side errors on queries the compare loop will never see (they
     # are not in the oracle map). With a manifest: the rows-only part of
-    # the scope. Without one: every non-oracle error key — there is no
-    # scope to exclude them, and ignoring a recorded crash is the unsafe
-    # direction.
-    rows_only_errors = sorted(
-        (rows_only_in_scope if attempted is not None
-         else set(errors) - set(oracle)) & set(errors))
+    # the scope. Without one, an explicit CLI filter IS the declared scope
+    # (non-oracle names in it already failed as unknown above), so errors
+    # outside it are skipped exactly like out-of-filter oracle errors;
+    # only a scope-less no-manifest dir fails on every non-oracle error
+    # key — there, ignoring a recorded crash is the unsafe direction.
+    if attempted is not None:
+        extra_err_scope = rows_only_in_scope
+    elif only is not None:
+        extra_err_scope = set()
+    else:
+        extra_err_scope = set(errors) - set(oracle)
+    rows_only_errors = sorted(extra_err_scope & set(errors))
 
     def fail_rows_only_errors():
-        bad = False
         for n in rows_only_errors:
-            bad = True
-            print(f"FAIL {n}: spark-side error (rows-only query): "
-                  f"{errors[n]}")
-        return bad
+            fail(f"{n}: spark-side error (rows-only query): {errors[n]}")
+        return bool(rows_only_errors)
 
     if only is not None and not only and rows_only_in_scope:
         # the scope held ONLY rows-only queries: nothing is comparable by

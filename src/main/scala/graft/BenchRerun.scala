@@ -85,11 +85,23 @@ object BenchRerun {
       val node = root.get("sf")
       val sf = if (node != null && node.isTextual) node.asText() else ""
       def norm(p: String) = p.replaceAll("/+$", "")
-      if (sf.nonEmpty && norm(sf) == norm(sfDir)) queriesOf(root)
-      else {
+      if (sf.nonEmpty && norm(sf) == norm(sfDir)) {
+        val m = queriesOf(root)
+        if (m.isEmpty)
+          System.err.println("[bench] reference artifact has no usable " +
+            "queries map — re-run pass disarmed")
+        m
+      } else {
         System.err.println(s"[bench] reference sf stamp '$sf' does not " +
           s"match this run's '$sfDir' — re-run pass disarmed")
         Map.empty
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case e: Throwable =>
+      // every disarm is observable (clipped artifact = the documented
+      // BENCH_r04/r05 class): silence here would leave the false-
+      // regression protection unobservably off
+      System.err.println(
+        s"[bench] reference artifact unparseable — re-run pass disarmed: $e")
+      Map.empty
+    }
 }
