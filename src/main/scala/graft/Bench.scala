@@ -169,7 +169,14 @@ object Bench {
       val p = java.nio.file.Paths.get("target/bench_out.json")
       if (java.nio.file.Files.exists(p))
         BenchRerun.referenceFor(java.nio.file.Files.readString(p), sfDir)
-      else Map.empty
+      else {
+        // the most common disarm (fresh checkout / sbt clean) must be as
+        // observable as the parse/stamp ones — silence would leave the
+        // false-regression protection unobservably off
+        System.err.println(
+          s"[bench] no reference map at $p — re-run pass disarmed")
+        Map.empty
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] reference map unreadable (re-run pass disarmed): $e")
       Map.empty

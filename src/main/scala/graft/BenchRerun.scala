@@ -45,11 +45,15 @@ object BenchRerun {
         name
     }.toSet
 
-  /** Best-effort parse of a previous durable bench JSON's `"queries"`
-    * object into name → reported seconds. Any shape or parse problem —
-    * missing field, clipped file, non-numeric values — yields an empty
-    * map, which simply disarms the re-run pass (never fails the bench).
-    * Jackson rides the Spark classpath. */
+  /** PURE parser of a durable bench JSON's `"queries"` object into
+    * name → reported seconds; any shape or parse problem — missing
+    * field, clipped file, non-numeric values — yields an empty map and
+    * is deliberately SILENT (this is the testable parsing primitive).
+    * Bench must not call this directly: the harness entry point is
+    * [[referenceFor]], which wraps the same parse and NOTES every
+    * disarm — absent stamp, scale mismatch, unparseable artifact,
+    * missing queries map — on stderr. Jackson rides the Spark
+    * classpath. */
   def parseQueriesMap(json: String): Map[String, Double] =
     try queriesOf(new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(json))
