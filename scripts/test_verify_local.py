@@ -22,6 +22,19 @@ floaty = frozenset(["score"])
 # tolerant fallback must accept the multiset
 a1, a2 = 0.12345644999999, 0.12345645000001
 assert vl.cells_equal(a1, a2), "tolerance premise broken"
+
+# --- sign-of-zero strictness (r18 qml60 escape) -----------------------
+# the driver's hash is bit-exact: -0.0 vs +0.0 are ==-equal but
+# hash-different, so the local compare must reject the pairing
+assert not vl.cells_equal(-0.0, 0.0)
+assert not vl.cells_equal(0.0, -0.0)
+assert vl.cells_equal(-0.0, -0.0)
+assert vl.cells_equal(0.0, 0.0)
+# a slack-dependent pass is recorded (surfaced as WARN/strict-FAIL)
+vl.SLACK_HITS.clear()
+assert vl.cells_equal(a1, a2) and vl.SLACK_HITS == [(a1, a2)]
+vl.SLACK_HITS.clear()
+assert vl.cells_equal(1.0, 1.0) and vl.SLACK_HITS == []
 s_rows = [{"id": "x", "score": a1}, {"id": "x", "score": 0.9}]
 o_rows = [{"id": "x", "score": a2}, {"id": "x", "score": 0.9}]
 assert vl.row_key(s_rows[0], cols) != vl.row_key(o_rows[0], cols), (
@@ -202,4 +215,37 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r.returncode == 0 and "PASS qa" in r.stdout, (
         r.returncode, r.stdout)
 
-print("verify_local self-test: 28 cases OK")
+    # --- end-to-end sign-of-zero + slack surfacing (r18 qml60 class) --
+    # a doctored -0.0 dump against a +0.0 oracle must FAIL (the driver's
+    # bit-exact hash fails it; the pre-r19 compare certified it green)
+    json.dump({}, open(os.path.join(out, "errors.json"), "w"))
+    os.makedirs(os.path.join(out, "qz"))
+    json.dump({"qz": "SELECT CAST(0.0 AS DOUBLE) AS z"},
+              open(os.path.join(out, "oracle_sql.json"), "w"))
+    pq_w.write_table(pa.table({"z": pa.array([-0.0], pa.float64())}),
+                     os.path.join(out, "qz", "part-0.parquet"))
+    r = run("verify_local.py", sf, out, "qz")
+    assert r.returncode == 1 and "value mismatch" in r.stdout, (
+        r.returncode, r.stdout)
+    # matching signs pass without any slack warning
+    pq_w.write_table(pa.table({"z": pa.array([0.0], pa.float64())}),
+                     os.path.join(out, "qz", "part-0.parquet"))
+    r = run("verify_local.py", sf, out, "qz")
+    assert r.returncode == 0 and "PASS qz" in r.stdout \
+        and "slack" not in r.stdout, (r.returncode, r.stdout)
+    # a pass that NEEDS the 1e-9 slack is loud (WARN) and, under
+    # GRAFT_VERIFY_STRICT=1, a FAIL — the driver's hash would fail it
+    pq_w.write_table(pa.table({"z": pa.array([1e-12], pa.float64())}),
+                     os.path.join(out, "qz", "part-0.parquet"))
+    r = run("verify_local.py", sf, out, "qz")
+    assert r.returncode == 0 and "WARN qz: 1 float pair(s)" in r.stdout, (
+        r.returncode, r.stdout)
+    env = dict(os.environ, GRAFT_VERIFY_STRICT="1")
+    r2 = subprocess.run([sys.executable,
+                         os.path.join(scripts, "verify_local.py"),
+                         sf, out, "qz"],
+                        capture_output=True, text=True, env=env)
+    assert r2.returncode == 1 and "ONLY via the 1e-9 slack" in r2.stdout, (
+        r2.returncode, r2.stdout)
+
+print("verify_local self-test: 38 cases OK")

@@ -28,6 +28,15 @@ def fail(msg):
     return False
 
 
+# Float pairs that passed cells_equal ONLY via the 1e-9 slack, per query
+# (cleared by the main loop before each compare). The driver's hash is
+# bit-exact, so a slack-dependent local pass is a likely driver-red —
+# oracle-parity rules round in-plan, meaning matched values should be
+# bit-identical. Surfaced as a loud WARN per query (a FAIL under
+# GRAFT_VERIFY_STRICT=1).
+SLACK_HITS = []
+
+
 def cells_equal(a, b):
     if a is None and b is None:
         return True
@@ -37,9 +46,21 @@ def cells_equal(a, b):
         fa, fb = float(a), float(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
+        if fa == fb:
+            # the driver's hash is bit-exact: +0.0 vs -0.0 are ==-equal
+            # but hash-different (the r18 qml60 escape — this compare
+            # certified green while the driver failed). Distinguish zero
+            # signs so the local gate is at least as strict there.
+            if fa == 0.0 and math.copysign(1.0, fa) != math.copysign(1.0, fb):
+                return False
+            return True
         # oracle-parity rules round floats before compare; allow only
-        # representation-level slack, not value-level tolerance
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        # representation-level slack, not value-level tolerance — and
+        # RECORD every pair that needs it (see SLACK_HITS)
+        if abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb)):
+            SLACK_HITS.append((fa, fb))
+            return True
+        return False
     if isinstance(a, bytes) and isinstance(b, bytes):
         return a == b
     return str(a) == str(b)
@@ -297,6 +318,7 @@ def main():
         # Full-row sort on both sides: queries end with an ORDER BY, but
         # ties on the ORDER BY keys may legitimately order differently in
         # DuckDB vs Spark; the driver's hash compare is order-insensitive.
+        SLACK_HITS.clear()
         s_rows = sorted(spark_tbl.select(s_cols).to_pylist(), key=lambda r: row_key(r, s_cols))
         o_rows = sorted(ora.select(o_cols).to_pylist(), key=lambda r: row_key(r, o_cols))
         bad = None
@@ -324,6 +346,19 @@ def main():
                 )
                 continue
             print(f"NOTE {name}: pairwise order differed on float keys; tolerant multiset match passed")
+        if SLACK_HITS:
+            # a value-equal-but-bit-different pair (the class the driver's
+            # bit-exact hash fails): passing here is an instrument gap,
+            # not a certification — oracle-parity rounding should make
+            # matched floats bit-identical
+            fa, fb = SLACK_HITS[0]
+            msg = (f"{name}: {len(SLACK_HITS)} float pair(s) passed ONLY "
+                   f"via the 1e-9 slack (e.g. spark={fa!r} oracle={fb!r}) "
+                   f"— likely driver hash FAIL; round in-plan on both sides")
+            if os.environ.get("GRAFT_VERIFY_STRICT") == "1":
+                ok = fail(msg)
+                continue
+            print(f"WARN {msg}")
         n_checked += 1
         print(f"PASS {name}: rows={spark_tbl.num_rows} hash_match=True")
 

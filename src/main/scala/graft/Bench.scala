@@ -113,10 +113,16 @@ object Bench {
       System.err.println(s"[bench] host context unavailable: $e")
       ""
     }
+    // plan-shape stamps (ADVICE r18 #7): one per query, captured OUTSIDE
+    // the timed span from the first successful run's DataFrame — shape is
+    // a planning property, so the capture costs driver-side analysis only
+    val shapes = scala.collection.mutable.Map.empty[String, PlanShape.Shape]
     def runOnce(q: GQuery): (Double, Option[String]) = {
       val t0 = System.nanoTime()
+      var df: org.apache.spark.sql.DataFrame = null
       val err: Option[String] = try {
-        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        df = q.fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
         None
       } catch {
         case e: Throwable =>
@@ -124,6 +130,11 @@ object Bench {
           Some(e.getClass.getSimpleName)
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      if (err.isEmpty && df != null && !shapes.contains(q.name))
+        try shapes(q.name) = PlanShape.of(df)
+        catch { case e: Throwable => // never fail a timing over a stamp
+          System.err.println(s"[bench] plan-shape stamp failed for ${q.name}: $e")
+        }
       // outside the timer: release frames/RDDs the multi-pass ops leave
       // persisted for their consumers, so no run inherits cache pressure
       // (and the second run never reads the first run's caches)
@@ -170,12 +181,25 @@ object Bench {
       if (java.nio.file.Files.exists(p))
         BenchRerun.referenceFor(java.nio.file.Files.readString(p), sfDir)
       else {
-        // the most common disarm (fresh checkout / sbt clean) must be as
-        // observable as the parse/stamp ones — silence would leave the
-        // false-regression protection unobservably off
-        System.err.println(
-          s"[bench] no reference map at $p — re-run pass disarmed")
-        Map.empty
+        // fresh checkout / sbt clean — the DRIVER's environment, the one
+        // run this pass exists to protect (r18 shipped `reruns: []` there
+        // because this branch only disarmed): fall back to the newest
+        // COMMITTED builder artifact; referenceFor still validates its sf
+        // stamp, so a different-scale fallback disarms, never mis-fires
+        BenchRerun.newestBuilderArtifact(
+          Option(new java.io.File(".").list()).map(_.toSeq)
+            .getOrElse(Seq.empty)) match {
+          case Some(f) =>
+            System.err.println(
+              s"[bench] no reference map at $p — falling back to committed $f")
+            BenchRerun.referenceFor(
+              java.nio.file.Files.readString(java.nio.file.Paths.get(f)),
+              sfDir)
+          case None =>
+            System.err.println(s"[bench] no reference map at $p and no " +
+              "committed bench_builder_r*.json — re-run pass disarmed")
+            Map.empty
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] reference map unreadable (re-run pass disarmed): $e")
@@ -250,6 +274,14 @@ object Bench {
       java.nio.file.Files.write(outPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] result JSON also written to $outPath")
+      // plan-shape stamps, sibling to the bench artifact (subset runs
+      // land next to bench_subset.json and never clobber the full map)
+      val shapePath = outPath.resolveSibling(
+        if (only.isDefined) "plan_shape_subset.json" else "plan_shape.json")
+      java.nio.file.Files.write(shapePath,
+        (PlanShape.toJson(shapes) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] plan shapes written to $shapePath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] file write failed (stdout line stands): $e")
     }

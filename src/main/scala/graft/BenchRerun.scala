@@ -72,6 +72,22 @@ object BenchRerun {
     }
   }
 
+  /** The newest COMMITTED builder bench artifact among `names` (file
+    * names, any order): highest round number matching
+    * `bench_builder_r<N>.json`. The fallback reference when
+    * `target/bench_out.json` is absent — which is exactly the driver's
+    * fresh-checkout environment, the one run the re-run pass was built
+    * to protect (r18: the pass disarmed there and BENCH_r18 shipped
+    * dozens of environmentally-hot readings with `reruns: []`). The
+    * artifact's own `sf` stamp is still validated downstream by
+    * [[referenceFor]], so a stale or different-scale fallback disarms
+    * rather than mis-triggers. */
+  def newestBuilderArtifact(names: Seq[String]): Option[String] = {
+    val P = "bench_builder_r(\\d+)\\.json".r
+    names.collect { case n @ P(r) => (r.toInt, n) }
+      .sortBy(t => (-t._1, t._2)).headOption.map(_._2)
+  }
+
   /** The reference map USABLE for a run against `sfDir`: empty unless the
     * artifact's own `"sf"` stamp names the same directory (trailing
     * slashes ignored — the realistic benign-respelling class). A

@@ -26,8 +26,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Classifiers {
 
+  /** Per-model harness verdict. The metric VALUES are fitted-model
+    * outputs (not SQL-expressible — exact-metric coverage lives in the
+    * ScalaTest suite); the COUNTS are relational and carry the oracle
+    * checks since r19: `nTrain + nTest` must equal the input row count
+    * (seeded randomSplit is exhaustive and disjoint) and `nPred` must
+    * equal `nTest` (transform is row-preserving). */
   final case class EvalResult(model: String, metric1: String, value1: Double,
-                              metric2: String, value2: Double)
+                              metric2: String, value2: Double,
+                              nTrain: Long = -1L, nTest: Long = -1L,
+                              nPred: Long = -1L)
 
   /** M14 — TrainValidationSplit over a param grid, the reference's tuning
     * harness everywhere (`bgrfunctions.py:186-193` etc.), trainRatio 0.8. */
@@ -75,19 +83,29 @@ object Classifiers {
     val ev = new RegressionEvaluator().setMetricName("rmse")
       .setLabelCol(labelCol).setPredictionCol("prediction")
     val best = tvsGrid(fm, grid, ev, tr)
-    val pred = best.transform(te)
+    val pred = best.transform(te).persist(StorageLevel.MEMORY_AND_DISK)
+    val nPred = pred.count()
     val r2 = new RegressionEvaluator().setMetricName("r2")
       .setLabelCol(labelCol).setPredictionCol("prediction").evaluate(pred)
+    val res = EvalResult("fm_regressor", "rmse", ev.evaluate(pred), "r2", r2,
+      tr.count(), te.count(), nPred)
+    pred.unpersist()
     persisted.unpersist()
-    EvalResult("fm_regressor", "rmse", ev.evaluate(pred), "r2", r2)
+    res
   }
 
   private def classifierMetrics(pred: DataFrame, labelCol: String,
-                                name: String,
-                                strictParity: Boolean = false): EvalResult = {
+                                name: String, strictParity: Boolean = false,
+                                nTrain: Long = -1L, nTest: Long = -1L)
+      : EvalResult = {
+    // the evaluators each pass over `pred` once more below — persist so
+    // the transform (and its upstream split lineage) runs once, and count
+    // here so the parity verdict rides the same materialization
+    val p = pred.persist(StorageLevel.MEMORY_AND_DISK)
+    val nPred = p.count()
     val acc = new MulticlassClassificationEvaluator()
       .setMetricName("accuracy").setLabelCol(labelCol)
-      .setPredictionCol("prediction").evaluate(pred)
+      .setPredictionCol("prediction").evaluate(p)
     // Default: real ROC from rawPrediction. strictParity replicates the
     // reference's rawPredictionCol="prediction" quirk verbatim
     // (`bgrfunctions.py:250`: ROC over hard 0/1 labels — a two-point
@@ -96,8 +114,9 @@ object Classifiers {
     val roc = new BinaryClassificationEvaluator()
       .setMetricName("areaUnderROC").setLabelCol(labelCol)
       .setRawPredictionCol(if (strictParity) "prediction" else "rawPrediction")
-      .evaluate(pred)
-    EvalResult(name, "accuracy", acc, "roc_auc", roc)
+      .evaluate(p)
+    p.unpersist()
+    EvalResult(name, "accuracy", acc, "roc_auc", roc, nTrain, nTest, nPred)
   }
 
   /** M10 — FMClassifier (reference `bgrfunctions.py:238-269`, grid over
@@ -118,7 +137,7 @@ object Classifiers {
       .setMetricName("accuracy").setLabelCol(labelCol)
       .setPredictionCol("prediction")
     classifierMetrics(tvsGrid(fm, grid, ev, tr).transform(te), labelCol,
-      "fm_classifier")
+      "fm_classifier", nTrain = tr.count(), nTest = te.count())
   }
 
   /** M11 — LogisticRegression (reference `bgrfunctions.py:271-303`; grid
@@ -138,7 +157,7 @@ object Classifiers {
       .setMetricName("accuracy").setLabelCol(labelCol)
       .setPredictionCol("prediction")
     classifierMetrics(tvsGrid(lr, grid, ev, tr).transform(te), labelCol,
-      "logistic_regression")
+      "logistic_regression", nTrain = tr.count(), nTest = te.count())
   }
 
   /** M12 — DecisionTreeClassifier. The reference's grid
@@ -163,7 +182,7 @@ object Classifiers {
       .setMetricName("accuracy").setLabelCol(labelCol)
       .setPredictionCol("prediction")
     classifierMetrics(tvsGrid(dt, grid, ev, tr).transform(te), labelCol,
-      "decision_tree", strictParity)
+      "decision_tree", strictParity, nTrain = tr.count(), nTest = te.count())
   }
 
   /** M13 — RandomForestClassifier (reference `bgrfunctions.py:337-366`,
@@ -179,6 +198,6 @@ object Classifiers {
       .setMetricName("accuracy").setLabelCol(labelCol)
       .setPredictionCol("prediction")
     classifierMetrics(tvsGrid(rf, grid, ev, tr).transform(te), labelCol,
-      "random_forest")
+      "random_forest", nTrain = tr.count(), nTest = te.count())
   }
 }

@@ -82,6 +82,24 @@ class BenchRerunSpec extends AnyFunSuite {
       "/root/testdata/sf0.1") == Map("qa" -> 0.3))
   }
 
+  test("newestBuilderArtifact picks the highest committed round") {
+    // the driver's fresh checkout has no target/bench_out.json (the r18
+    // disarm); the fallback must pick the newest committed artifact
+    assert(BenchRerun.newestBuilderArtifact(Seq(
+      "bench_builder_r12.json", "bench_builder_r18.json", "BENCH_r18.json",
+      "bench_builder_r15.json", "README.md", "bench_builder_r9.json"))
+      .contains("bench_builder_r18.json"))
+    // numeric, not lexicographic: r9 < r12
+    assert(BenchRerun.newestBuilderArtifact(Seq(
+      "bench_builder_r9.json", "bench_builder_r12.json"))
+      .contains("bench_builder_r12.json"))
+    // near-misses never match (no partial-name or directory surprises)
+    assert(BenchRerun.newestBuilderArtifact(Seq(
+      "bench_builder_r.json", "bench_builder_r18.json.bak",
+      "xbench_builder_r18.json", "BENCH_r18.json")).isEmpty)
+    assert(BenchRerun.newestBuilderArtifact(Seq.empty).isEmpty)
+  }
+
   test("end-to-end: parsed reference + reported map yields the r17 verdict") {
     val durable =
       """{"metric":"total","queries":{"q73_stratified_sample":0.31,

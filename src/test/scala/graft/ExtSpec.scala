@@ -153,6 +153,38 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk == the q98 oracle arithmetic at EVERY (chunkLen, stride), " +
+      "incl. the empty-string boundary") {
+    // ADVICE r18 #8: the q98 oracle generates starts with DuckDB's
+    // `generate_series(0, greatest(len(t)-1, 0), stride)` over
+    // `string_split(text, ' ')` — which tokenizes '' to [''] (len 1),
+    // exactly like Spark's split. The engine and a verbatim Scala
+    // transcription of the ORACLE's arithmetic must agree on every
+    // boundary, length, and chunk text at every legal (chunkLen, stride),
+    // not just the registered 64/48 — cheap insurance for the next
+    // fixture generation. Exhaustive: 36 combos × 5 corner docs.
+    val corner = Seq(
+      1L -> "",                                     // [''] — len 1
+      2L -> "a",                                    // single token
+      3L -> (1 to 8).map("w" + _).mkString(" "),    // == max chunkLen
+      4L -> (1 to 9).map("w" + _).mkString(" "),    // chunkLen + 1
+      5L -> (1 to 17).map("w" + _).mkString(" "))   // several strides
+    val d = docs(corner: _*)
+    for (chunkLen <- 1 to 8; stride <- 1 to chunkLen) {
+      val got = TextAnalysis.chunk(d, "doc_id", "text", chunkLen, stride)
+        .select("doc_id", "chunk_id", "start_tok", "n_tokens", "chunk_text")
+        .as[(Long, Int, Int, Int, String)].collect().sorted.toSeq
+      val want = corner.flatMap { case (id, text) =>
+        val t = text.split(" ", -1).toSeq // split('') == Seq("") both engines
+        (0 to math.max(t.length - 1, 0) by stride).map { i =>
+          (id, i / stride, i, math.min(chunkLen, t.length - i),
+            t.slice(i, i + chunkLen).mkString(" "))
+        }
+      }.sorted
+      assert(got == want, s"chunkLen=$chunkLen stride=$stride")
+    }
+  }
+
   test("simhashPairs pigeonhole banding == brute force") {
     // random 16-bit signatures; banding must find EXACTLY the pairs
     // within hamming <= 2 (recall 1 by pigeonhole)
