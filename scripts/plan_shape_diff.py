@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Diff two plan-shape stamps (target/plan_shape.json or a committed
+plan_shape_r*.json): prints one line per query whose static plan shape
+changed — a new/lost shuffle Exchange, a gained/lost broadcast, or an
+operator falling out of whole-stage codegen — plus added/removed
+queries. Exit 1 iff any shape changed (added/removed queries alone are
+registry growth, not regressions).
+
+Usage: python3 scripts/plan_shape_diff.py <old.json> <new.json>
+"""
+import json
+import sys
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    old = json.load(open(old_path))
+    new = json.load(open(new_path))
+    changed = False
+    for name in sorted(set(old) & set(new)):
+        o, n = old[name], new[name]
+        if o != n:
+            changed = True
+            deltas = ", ".join(
+                f"{k}: {o[k]} -> {n[k]}" for k in o if o.get(k) != n.get(k)
+            )
+            print(f"CHANGED {name}: {deltas}")
+    for name in sorted(set(new) - set(old)):
+        print(f"ADDED   {name}: {json.dumps(new[name], sort_keys=True)}")
+    for name in sorted(set(old) - set(new)):
+        print(f"REMOVED {name}")
+    same = sum(1 for q in set(old) & set(new) if old[q] == new[q])
+    print(f"OK: {same} unchanged, {len(set(new) - set(old))} added, "
+          f"{len(set(old) - set(new))} removed")
+    sys.exit(1 if changed else 0)
+
+
+if __name__ == "__main__":
+    main()
