@@ -10,15 +10,15 @@ import graft.ml.{Classifiers, FeaturePipeline, Recsys}
   * output has checkable semantics carries one (qml52/qml57/qml60 via
   * invariant claims + DuckDB-recomputable values, qml55/qml59 via exact
   * values, qml50/qml53/qml54 via count parity + domain theorems; the
-  * q76/q77 expected-TRUE pattern). The remaining THREE rows-only entries
-  * are genuinely non-expressible end to end: qml51 emits the ml.feature
-  * VECTOR payloads themselves (their relational fragments are q96),
-  * qml56 routes through a seeded KMeans quantizer (cluster assignment is
-  * not SQL; its recall is measured against the oracle-checked q88
-  * baseline), qml58 emits grid-search winners + held-out RMSE/R² (model
-  * quality values; RMSE ceiling pinned in MlStreamSpec). Exact-metric
-  * coverage for all of them lives in the ScalaTest suite. Inputs are
-  * derived deterministically from the fixtures; all seeds pinned.
+  * q76/q77 expected-TRUE pattern; qml56/qml58 via per-query contract
+  * verdicts + DuckDB-recomputed keys/counts). The ONE remaining
+  * rows-only entry, qml51, is genuinely non-expressible end to end: its
+  * output IS the ml.feature vector payloads (sparse one-hot and
+  * scaled dense vectors as strings — Java's shortest-representation
+  * double formatting is not replicable in SQL); their relational
+  * fragments are oracle-checked as q96. Exact-metric coverage lives in
+  * the ScalaTest suite. Inputs are derived deterministically from the
+  * fixtures; all seeds pinned.
   */
 object MlQueries {
 
@@ -366,21 +366,40 @@ object MlQueries {
         import spark.implicits._
         // the reference's flagship tuning loop (bgrfunctions.py:179-201):
         // rank × regParam through TVS, trainRatio 0.8, RMSE-selected.
-        // qml50 stays single-point. Bounded sample (same deterministic
-        // unique-key orderBy+limit as the classifier harness): the grid
+        // qml50 stays single-point. Bounded sample (deterministic: the
+        // ratings derivation's (user_id, item_id) is unique by
+        // construction, so orderBy+limit is a total order): the grid
         // fits 5 ALS models — the bench measures the harness, not 5×
         // full-corpus factorizations.
+        // Oracle-checked since r19 (was rows-only): WHICH grid point
+        // wins and its held-out RMSE/R² are model quality values
+        // (non-SQL; RMSE ceiling pinned in MlStreamSpec), but the
+        // harness verdicts are — the winner must come FROM the grid,
+        // rmse ≥ 0 / r² ≤ 1 are theorems, and n_rows is the bounded
+        // sample size DuckDB recomputes as least(100000, derivation
+        // count).
         val bounded = Tables.ratings(s, d)
           .orderBy("user_id", "item_id").limit(100000)
+        val n = bounded.count()
+        val ranks = Seq(8, 12)
+        val regs = Seq(0.1, 0.01)
         val r = Recsys.fitAlsGrid(bounded, "user_id", "item_id",
-          "rating", ranks = Seq(8, 12), regParams = Seq(0.1, 0.01),
-          maxIter = 5)
-        Seq((r.bestRank, r.bestRegParam,
-          math.rint(r.rmse * 1e4) / 1e4, math.rint(r.r2 * 1e4) / 1e4))
-          .toDF("best_rank", "best_reg_param", "rmse", "r2")
+          "rating", ranks = ranks, regParams = regs, maxIter = 5)
+        Seq((n, ranks.contains(r.bestRank), regs.contains(r.bestRegParam),
+          r.rmse >= 0.0, r.r2 <= 1.0 + 1e-12))
+          .toDF("n_rows", "best_rank_in_grid", "best_reg_in_grid",
+            "rmse_nonneg", "r2_le_1")
       },
-      None,
-      doc = "ALS tuned via TrainValidationSplit over rank × regParam (reference bgrfunctions.py:179-201); returns the winning params + held-out RMSE/R²"),
+      Some("""WITH r AS (SELECT o.o_custkey AS user_id,
+             |             l.l_partkey AS item_id
+             |           FROM lineitem l
+             |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |           GROUP BY 1, 2)
+             |SELECT CAST(least(100000, (SELECT count(*) FROM r))
+             |    AS BIGINT) AS n_rows,
+             |  TRUE AS best_rank_in_grid, TRUE AS best_reg_in_grid,
+             |  TRUE AS rmse_nonneg, TRUE AS r2_le_1""".stripMargin),
+      doc = "ALS tuned via TrainValidationSplit over rank × regParam (reference bgrfunctions.py:179-201); oracle-checked since r19 — winner-from-grid, rmse/r² domain theorems, n_rows vs DuckDB's bounded derivation count; the winning params + metric values stay pinned in the seeded suite"),
 
     // ---- M1+M2 at design-matrix cardinality ------------------------------
     GQuery("qml59_high_card_onehot",
@@ -489,13 +508,44 @@ object MlQueries {
 
     // ---- IVF ANN (centroid-partitioned scale path) ----------------------
     GQuery("qml56_knn_ivf",
-      (s, d) => graft.ext.Similarity.ivfTopK(Tables.embeddings(s, d),
+      (s, d) => {
+        // Oracle-checked since r19 (was rows-only): WHICH neighbors the
+        // seeded KMeans quantizer routes to is not SQL-expressible (its
+        // retrieval quality is measured against the exact baseline by
+        // q88's oracle-checked ≥0.75 recall claim for the 8-probe
+        // variant; this 4-probe one measures 0.69/0.71 — the
+        // accuracy/cost dial), but the output frame's CONTRACT is:
+        // per query, exactly k self-excluded neighbors with contiguous
+        // ranks and cosine scores in [-1,1] non-increasing by rank —
+        // and the query set itself (vec_id < 20) is oracle-derivable
+        // from the parquet, so the verdict rows keep a real cross-engine
+        // key column. The full IVF pipeline (KMeans fit, probe ranking,
+        // in-cell scoring, top-k) still executes inside this plan.
+        val recs = graft.ext.Similarity.ivfTopK(Tables.embeddings(s, d),
           "vec_id", "embedding", queryPred = col("vec_id") < 20,
           nLists = 16, nProbe = 4, k = 5)
-        .select("query_id", "neighbor_id", "score", "rank")
-        .orderBy("query_id", "rank"),
-      None, // KMeans quantizer is not SQL-expressible → rows-only
-      doc = "IVF ANN: seeded KMeans coarse quantizer, nProbe nearest cells per query, exact cosine inside cells"),
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rank")
+        recs.withColumn("prev_score", lag(col("score"), 1).over(w))
+          .groupBy("query_id").agg(
+            count(lit(1)).as("n_neighbors"),
+            (min("rank") === 1 && max("rank") === 5 &&
+              countDistinct("rank") === 5).as("ranks_ok"),
+            (sum(when(col("prev_score").isNotNull &&
+              col("score") > col("prev_score"), 1L).otherwise(0L)) === 0)
+              .as("scores_monotone_ok"),
+            (sum(when(col("neighbor_id") === col("query_id"), 1L)
+              .otherwise(0L)) === 0).as("self_excluded_ok"),
+            (min("score") >= -1.000001 && max("score") <= 1.000001)
+              .as("scores_in_range_ok"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_neighbors,
+             |  TRUE AS ranks_ok, TRUE AS scores_monotone_ok,
+             |  TRUE AS self_excluded_ok, TRUE AS scores_in_range_ok
+             |FROM embeddings WHERE vec_id < 20
+             |ORDER BY query_id""".stripMargin),
+      doc = "IVF ANN: seeded KMeans coarse quantizer, nProbe nearest cells per query, exact cosine inside cells; oracle-checked since r19 — per-query exactly-k self-excluded neighbors, contiguous ranks, monotone in-range cosine scores, query set recomputed by DuckDB; retrieval quality vs the exact baseline is q88's measured claim"),
 
     // ---- S5 model persistence: save → load → identical predictions ------
     GQuery("qml55_model_io",
