@@ -3,8 +3,9 @@
 plan_shape_r*.json): prints one line per query whose static plan shape
 changed — a new/lost shuffle Exchange, a gained/lost broadcast, or an
 operator falling out of whole-stage codegen — plus added/removed
-queries. Exit 1 iff any shape changed (added/removed queries alone are
-registry growth, not regressions).
+queries. Exit 1 iff any shape changed OR any query was removed (the
+registry never shrinks silently; a probe-clobbered empty stamp must
+read red, not OK). Added queries alone are registry growth: exit 0.
 
 Usage: python3 scripts/plan_shape_diff.py <old.json> <new.json>
 """
@@ -21,17 +22,24 @@ def main():
         o, n = old[name], new[name]
         if o != n:
             changed = True
+            # union of keys, .get on both sides: a stamp written by an
+            # older/newer PlanShape may carry a different field set, and
+            # a one-sided field must render as a delta, not a KeyError
             deltas = ", ".join(
-                f"{k}: {o[k]} -> {n[k]}" for k in o if o.get(k) != n.get(k)
+                f"{k}: {o.get(k)} -> {n.get(k)}"
+                for k in sorted(set(o) | set(n))
+                if o.get(k) != n.get(k)
             )
             print(f"CHANGED {name}: {deltas}")
     for name in sorted(set(new) - set(old)):
         print(f"ADDED   {name}: {json.dumps(new[name], sort_keys=True)}")
-    for name in sorted(set(old) - set(new)):
+    removed = sorted(set(old) - set(new))
+    for name in removed:
+        changed = True
         print(f"REMOVED {name}")
     same = sum(1 for q in set(old) & set(new) if old[q] == new[q])
     print(f"OK: {same} unchanged, {len(set(new) - set(old))} added, "
-          f"{len(set(old) - set(new))} removed")
+          f"{len(removed)} removed")
     sys.exit(1 if changed else 0)
 
 

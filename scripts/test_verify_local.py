@@ -248,4 +248,27 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r2.returncode == 1 and "ONLY via the 1e-9 slack" in r2.stdout, (
         r2.returncode, r2.stdout)
 
-print("verify_local self-test: 38 cases OK")
+    # --- slack-hit mispairing adjudication (r19 review finding #2) ----
+    # bit-identical MULTISETS whose sub-tolerance-different rows share a
+    # 7-sig-digit sort key land in opposite orders: the pairwise walk
+    # passes only via slack, but the driver's order-insensitive
+    # bit-exact hash passes — so no WARN and no strict-mode FAIL
+    a, b = 0.1, 0.100000000001
+    assert vl.bitexact_multiset_equal(
+        [{"z": a}, {"z": b}], [{"z": b}, {"z": a}], ["z"])
+    assert not vl.bitexact_multiset_equal(
+        [{"z": a}, {"z": a}], [{"z": b}, {"z": a}], ["z"])
+    assert not vl.bitexact_multiset_equal([{"z": -0.0}], [{"z": 0.0}], ["z"])
+    json.dump({"qz": f"SELECT CAST({b!r} AS DOUBLE) AS z "
+                     f"UNION ALL SELECT CAST({a!r} AS DOUBLE)"},
+              open(os.path.join(out, "oracle_sql.json"), "w"))
+    pq_w.write_table(pa.table({"z": pa.array([a, b], pa.float64())}),
+                     os.path.join(out, "qz", "part-0.parquet"))
+    r = subprocess.run([sys.executable,
+                        os.path.join(scripts, "verify_local.py"),
+                        sf, out, "qz"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0 and "PASS qz" in r.stdout \
+        and "slack" not in r.stdout, (r.returncode, r.stdout)
+
+print("verify_local self-test: 43 cases OK")

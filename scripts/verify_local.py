@@ -66,6 +66,38 @@ def cells_equal(a, b):
     return str(a) == str(b)
 
 
+def bitexact_key(row, cols):
+    """Bit-exact full-row key: floats by their IEEE bytes (so -0.0 != 0.0
+    and sub-tolerance differences count), NaN canonicalized, everything
+    else by type+string. Used only to ADJUDICATE a slack-dependent pass:
+    if the two sides are bit-exact-equal as MULTISETS, the pairwise
+    walk's slack hits were mispairings of bit-identical rows (equal
+    7-sig-digit sort keys preserve differing insertion orders) and the
+    driver's order-insensitive bit-exact hash passes — no warning due.
+    Conservative direction only: a cross-typed (int vs float) column
+    keeps the warning alive, never silences a genuine slack pass."""
+    import struct
+
+    key = []
+    for c in cols:
+        v = row[c]
+        if isinstance(v, float):
+            key.append(b"nan" if math.isnan(v) else struct.pack("<d", v))
+        elif isinstance(v, bytes):
+            key.append(v)
+        else:
+            key.append((type(v).__name__, str(v)))
+    return tuple(key)
+
+
+def bitexact_multiset_equal(s_rows, o_rows, cols):
+    from collections import Counter
+
+    return Counter(bitexact_key(r, cols) for r in s_rows) == Counter(
+        bitexact_key(r, cols) for r in o_rows
+    )
+
+
 def row_key(row, cols, masked=frozenset()):
     # Deterministic full-row sort key, identical for equal values on both
     # sides. Floats are formatted at 7 significant digits so values equal
@@ -346,15 +378,20 @@ def main():
                 )
                 continue
             print(f"NOTE {name}: pairwise order differed on float keys; tolerant multiset match passed")
-        if SLACK_HITS:
+        if SLACK_HITS and not bitexact_multiset_equal(s_rows, o_rows, s_cols):
             # a value-equal-but-bit-different pair (the class the driver's
             # bit-exact hash fails): passing here is an instrument gap,
             # not a certification — oracle-parity rounding should make
-            # matched floats bit-identical
+            # matched floats bit-identical. The multiset recheck first
+            # clears slack hits that were mere MISPAIRINGS of
+            # bit-identical rows (equal float sort keys preserving
+            # differing insertion orders — the driver passes those), so
+            # the warning means the bit-exact pairing genuinely fails.
             fa, fb = SLACK_HITS[0]
             msg = (f"{name}: {len(SLACK_HITS)} float pair(s) passed ONLY "
-                   f"via the 1e-9 slack (e.g. spark={fa!r} oracle={fb!r}) "
-                   f"— likely driver hash FAIL; round in-plan on both sides")
+                   f"via the 1e-9 slack and the rows are NOT bit-exact as "
+                   f"multisets (e.g. spark={fa!r} oracle={fb!r}) — likely "
+                   f"driver hash FAIL; round in-plan on both sides")
             if os.environ.get("GRAFT_VERIFY_STRICT") == "1":
                 ok = fail(msg)
                 continue

@@ -274,10 +274,17 @@ object Bench {
       java.nio.file.Files.write(outPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] result JSON also written to $outPath")
-      // plan-shape stamps, sibling to the bench artifact (subset runs
-      // land next to bench_subset.json and never clobber the full map)
+      // plan-shape stamps, sibling to the bench artifact. The name keys
+      // on the same OUTCOME routing as the bench JSON: a subset run or a
+      // failure probe (all queries errored → empty shape map) must never
+      // clobber target/plan_shape.json — the round's committed
+      // plan-regression baseline diffs against it, and a probe-zeroed
+      // file would read as "109 queries removed" (review finding r19).
       val shapePath = outPath.resolveSibling(
-        if (only.isDefined) "plan_shape_subset.json" else "plan_shape.json")
+        if (only.isDefined) "plan_shape_subset.json"
+        else if (outPath.getFileName.toString == "bench_probe.json")
+          "plan_shape_probe.json"
+        else "plan_shape.json")
       java.nio.file.Files.write(shapePath,
         (PlanShape.toJson(shapes) + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

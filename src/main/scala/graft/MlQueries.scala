@@ -55,6 +55,32 @@ object MlQueries {
       Seq("l_extendedprice", "l_discount", "l_tax", "p_retailprice", "p_size"))
   }
 
+  /** Per-group audit of a ranked top-k frame — the shared verdict core of
+    * qml50 (recommendations per user) and qml56 (ANN neighbors per
+    * query), kept in one place so a fix in one contract check cannot
+    * silently miss the other. For each `keyCol` group over
+    * (rank, score): row count `n`, rank contiguity 1..k as `ranks_ok`,
+    * and the count of score `inversions` (score increasing with rank).
+    * Callers append their own extra aggregates. Window partitioned by
+    * the key — no global sort; the audited frame is n_keys × k, tiny
+    * next to the corpus at any scale. */
+  private def rankedGroupAudit(df: org.apache.spark.sql.DataFrame,
+                               keyCol: String, k: Int,
+                               extraAggs: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("rank")
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      (min("rank") === 1 && max("rank") === k &&
+        countDistinct("rank") === k).as("ranks_ok"),
+      sum(when(col("prev_score").isNotNull &&
+        col("score") > col("prev_score"), 1L).otherwise(0L))
+        .as("inversions")) ++ extraAggs
+    df.withColumn("prev_score", lag(col("score"), 1).over(w))
+      .groupBy(keyCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   val all: Seq[GQuery] = Seq(
 
     // ---- M7+M8: ALS + top-k recommendations (flagship) ------------------
@@ -74,7 +100,16 @@ object MlQueries {
         // cross-engine value (DuckDB recomputes the derivation). The
         // full als.py lineage — fit + recommendForAllUsers + explode/
         // round + name join — still executes inside this plan.
-        val ratings = Tables.ratings(s, d)
+        val spark = s
+        import spark.implicits._
+        // persist the derivation once: it feeds the ALS fit (fitAls
+        // BORROWS a caller-held cache — borrowMaterialized contract),
+        // the known-users dim, and the totals agg; the whole output
+        // collapses to one driver row below, so the cache releases
+        // eagerly before return (the qml55/qml59 pattern) instead of
+        // leaking to a lazy consumer
+        val ratings = graft.ops.RelationalOps.materialized(
+          Tables.ratings(s, d))
         val fit = Recsys.fitAls(ratings, "user_id", "item_id",
           "rating", rank = 8, regParam = 0.1, maxIter = 5)
         // J3 presentation join (reference als.py:48-49: attach the game
@@ -84,37 +119,28 @@ object MlQueries {
         val recs = Recsys.recommendTopK(fit.model, k = 5)
           .join(broadcast(names), Seq("item_id"), "left")
           .select("user_id", "rank", "item_id", "item_name", "score")
-        // per-user shape audit: window partitioned by user (no global
-        // sort; the recs frame is n_users×k, tiny next to the corpus)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("rank")
-        val perUser = recs
-          .withColumn("prev_score", lag(col("score"), 1).over(w))
-          .groupBy("user_id").agg(
-            count(lit(1)).as("n"),
-            min("rank").as("rmin"), max("rank").as("rmax"),
-            countDistinct("rank").as("rdist"),
-            sum(when(col("item_name").isNull, 1L).otherwise(0L))
-              .as("unnamed"),
-            sum(when(col("prev_score").isNotNull &&
-              col("score") > col("prev_score"), 1L).otherwise(0L))
-              .as("inversions"))
+        val audited = rankedGroupAudit(recs, "user_id", k = 5,
+          extraAggs = Seq(sum(when(col("item_name").isNull, 1L)
+            .otherwise(0L)).as("unnamed")))
         val known = ratings.select("user_id").distinct()
           .withColumn("known", lit(1))
-        val verdict = perUser.join(known, Seq("user_id"), "left").agg(
-          sum(when(col("n") =!= 5 || col("rmin") =!= 1 ||
-            col("rmax") =!= 5 || col("rdist") =!= 5, 1L).otherwise(0L))
+        val verdict = audited.join(known, Seq("user_id"), "left").agg(
+          sum(when(col("n") =!= 5 || !col("ranks_ok"), 1L).otherwise(0L))
             .as("bad_rank_users"),
           sum(col("inversions")).as("score_inversions"),
           sum(col("unnamed")).as("n_unnamed"),
           sum(when(col("known").isNull, 1L).otherwise(0L))
             .as("n_unknown_users"))
-        val totals = ratings
-          .agg(countDistinct("user_id").as("n_users_total"))
-        verdict.crossJoin(totals) // 1×1
-          .select(lit(5).as("k"), col("n_users_total"),
-            col("bad_rank_users"), col("score_inversions"),
-            col("n_unnamed"), col("n_unknown_users"))
+        val row = verdict.crossJoin( // 1×1
+            ratings.agg(countDistinct("user_id").as("n_users_total")))
+          .select(col("n_users_total"), col("bad_rank_users"),
+            col("score_inversions"), col("n_unnamed"),
+            col("n_unknown_users"))
+          .as[(Long, Long, Long, Long, Long)].head()
+        ratings.unpersist()
+        Seq((5, row._1, row._2, row._3, row._4, row._5))
+          .toDF("k", "n_users_total", "bad_rank_users",
+            "score_inversions", "n_unnamed", "n_unknown_users")
       },
       Some("""WITH r AS (SELECT o.o_custkey AS user_id
              |           FROM lineitem l
@@ -378,13 +404,19 @@ object MlQueries {
         // rmse ≥ 0 / r² ≤ 1 are theorems, and n_rows is the bounded
         // sample size DuckDB recomputes as least(100000, derivation
         // count).
+        // persist before counting: the count materializes the cache the
+        // grid harness then BORROWS (fitAlsGrid's borrowMaterialized) —
+        // without it the derivation + global sort + limit would run once
+        // for the count and again for the fit
         val bounded = Tables.ratings(s, d)
           .orderBy("user_id", "item_id").limit(100000)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val n = bounded.count()
         val ranks = Seq(8, 12)
         val regs = Seq(0.1, 0.01)
         val r = Recsys.fitAlsGrid(bounded, "user_id", "item_id",
           "rating", ranks = ranks, regParams = regs, maxIter = 5)
+        bounded.unpersist()
         Seq((n, ranks.contains(r.bestRank), regs.contains(r.bestRegParam),
           r.rmse >= 0.0, r.r2 <= 1.0 + 1e-12))
           .toDF("n_rows", "best_rank_in_grid", "best_reg_in_grid",
@@ -524,20 +556,15 @@ object MlQueries {
         val recs = graft.ext.Similarity.ivfTopK(Tables.embeddings(s, d),
           "vec_id", "embedding", queryPred = col("vec_id") < 20,
           nLists = 16, nProbe = 4, k = 5)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy("rank")
-        recs.withColumn("prev_score", lag(col("score"), 1).over(w))
-          .groupBy("query_id").agg(
-            count(lit(1)).as("n_neighbors"),
-            (min("rank") === 1 && max("rank") === 5 &&
-              countDistinct("rank") === 5).as("ranks_ok"),
-            (sum(when(col("prev_score").isNotNull &&
-              col("score") > col("prev_score"), 1L).otherwise(0L)) === 0)
-              .as("scores_monotone_ok"),
+        rankedGroupAudit(recs, "query_id", k = 5, extraAggs = Seq(
             (sum(when(col("neighbor_id") === col("query_id"), 1L)
               .otherwise(0L)) === 0).as("self_excluded_ok"),
             (min("score") >= -1.000001 && max("score") <= 1.000001)
-              .as("scores_in_range_ok"))
+              .as("scores_in_range_ok")))
+          .select(col("query_id"), col("n").as("n_neighbors"),
+            col("ranks_ok"), (col("inversions") === 0)
+              .as("scores_monotone_ok"),
+            col("self_excluded_ok"), col("scores_in_range_ok"))
           .orderBy("query_id")
       },
       Some("""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_neighbors,

@@ -73,7 +73,10 @@ object Classifiers {
     * stepSize×factorSize). */
   def fmRegression(df: DataFrame, featuresCol: String, labelCol: String,
                    maxIter: Int = 20): EvalResult = {
-    val persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+    // borrow, don't own: a caller-persisted frame must survive this
+    // harness (the borrowMaterialized contract — see Recsys.fitAls)
+    val (persisted, release) =
+      graft.ops.RelationalOps.borrowMaterialized(df)
     val (tr, te) = split(persisted)
     val fm = new FMRegressor().setFeaturesCol(featuresCol)
       .setLabelCol(labelCol).setSeed(1L).setMaxIter(maxIter)
@@ -90,7 +93,7 @@ object Classifiers {
     val res = EvalResult("fm_regressor", "rmse", ev.evaluate(pred), "r2", r2,
       tr.count(), te.count(), nPred)
     pred.unpersist()
-    persisted.unpersist()
+    release()
     res
   }
 

@@ -24,7 +24,13 @@ object Recsys {
   def fitAls(ratings: DataFrame, userCol: String, itemCol: String,
              ratingCol: String, rank: Int = 8, regParam: Double = 0.1,
              maxIter: Int = 5, seed: Long = 1L): FitResult = {
-    val persisted = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    // borrow, don't own: a caller that persisted `ratings` for its own
+    // downstream consumers (qml50's known-users dim and totals agg) must
+    // not lose its cache when this fit returns — persist state lives on
+    // the shared plan, so an unconditional persist/unpersist pair here
+    // would silently drop it (the borrowMaterialized contract, q97)
+    val (persisted, release) =
+      graft.ops.RelationalOps.borrowMaterialized(ratings)
     val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
     val als = new ALS()
       .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
@@ -36,7 +42,7 @@ object Recsys {
       .setMetricName(metric).setLabelCol(ratingCol)
       .setPredictionCol("prediction").evaluate(pred)
     val res = FitResult(model, eval("rmse"), eval("r2"))
-    persisted.unpersist()
+    release()
     res
   }
 
@@ -73,7 +79,10 @@ object Recsys {
         sc.setCheckpointDir(d.toString)
         Some(d)
       } else None
-    val persisted = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    // borrow, don't own (see fitAls): qml58 persists the bounded sample
+    // for its own count and must keep it until its release
+    val (persisted, release) =
+      graft.ops.RelationalOps.borrowMaterialized(ratings)
     try {
       val Array(train, test) = persisted.randomSplit(Array(0.8, 0.2), seed = 42L)
       val als = new ALS()
@@ -96,7 +105,7 @@ object Recsys {
         new RegressionEvaluator().setMetricName("r2").setLabelCol(ratingCol)
           .setPredictionCol("prediction").evaluate(pred))
     } finally {
-      persisted.unpersist()
+      release()
       anchoredCp.foreach { d =>
         sc.setCheckpointDir(null) // restore the no-checkpoint-dir state
         graft.Staging.deleteRecursively(d)
