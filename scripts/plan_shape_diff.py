@@ -38,7 +38,11 @@ def main():
         changed = True
         print(f"REMOVED {name}")
     same = sum(1 for q in set(old) & set(new) if old[q] == new[q])
-    print(f"OK: {same} unchanged, {len(set(new) - set(old))} added, "
+    # the verdict prefix must agree with the exit code: a log reader
+    # tailing for OK/FAILED sees the same answer the driver's exit
+    # check does
+    verdict = "FAILED" if changed else "OK"
+    print(f"{verdict}: {same} unchanged, {len(set(new) - set(old))} added, "
           f"{len(removed)} removed")
     sys.exit(1 if changed else 0)
 

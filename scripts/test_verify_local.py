@@ -271,4 +271,4 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r.returncode == 0 and "PASS qz" in r.stdout \
         and "slack" not in r.stdout, (r.returncode, r.stdout)
 
-print("verify_local self-test: 43 cases OK")
+print("verify_local self-test: 42 cases OK")

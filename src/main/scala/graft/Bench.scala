@@ -258,10 +258,10 @@ object Bench {
     // on a genuine full run (all queries green) must still land in
     // bench_out.json (ADVICE r11). The chosen path rides in the totals
     // line ("out") so the driver can detect any diversion from stdout.
+    val probeRun = !warmupOk && results.nonEmpty && nFailed == results.size
     val defaultOut =
       if (only.isDefined) "target/bench_subset.json"
-      else if (!warmupOk && results.nonEmpty && nFailed == results.size)
-        "target/bench_probe.json"
+      else if (probeRun) "target/bench_probe.json"
       else "target/bench_out.json"
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
@@ -280,10 +280,12 @@ object Bench {
       // clobber target/plan_shape.json — the round's committed
       // plan-regression baseline diffs against it, and a probe-zeroed
       // file would read as "109 queries removed" (review finding r19).
+      // key on the probe OUTCOME, not the output filename — a
+      // SPARK_GRAFT_BENCH_OUT override during a probe would otherwise
+      // re-open the clobber (review pass 2)
       val shapePath = outPath.resolveSibling(
         if (only.isDefined) "plan_shape_subset.json"
-        else if (outPath.getFileName.toString == "bench_probe.json")
-          "plan_shape_probe.json"
+        else if (probeRun) "plan_shape_probe.json"
         else "plan_shape.json")
       java.nio.file.Files.write(shapePath,
         (PlanShape.toJson(shapes) + "\n")

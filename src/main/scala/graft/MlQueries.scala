@@ -124,13 +124,16 @@ object MlQueries {
             .otherwise(0L)).as("unnamed")))
         val known = ratings.select("user_id").distinct()
           .withColumn("known", lit(1))
+        // coalesce: on an EMPTY recommendation frame (degenerate fixture)
+        // the sums aggregate to NULL, and the typed head() below would
+        // throw instead of returning a comparable zero row (review pass 2)
         val verdict = audited.join(known, Seq("user_id"), "left").agg(
-          sum(when(col("n") =!= 5 || !col("ranks_ok"), 1L).otherwise(0L))
-            .as("bad_rank_users"),
-          sum(col("inversions")).as("score_inversions"),
-          sum(col("unnamed")).as("n_unnamed"),
-          sum(when(col("known").isNull, 1L).otherwise(0L))
-            .as("n_unknown_users"))
+          coalesce(sum(when(col("n") =!= 5 || !col("ranks_ok"), 1L)
+            .otherwise(0L)), lit(0L)).as("bad_rank_users"),
+          coalesce(sum(col("inversions")), lit(0L)).as("score_inversions"),
+          coalesce(sum(col("unnamed")), lit(0L)).as("n_unnamed"),
+          coalesce(sum(when(col("known").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_unknown_users"))
         val row = verdict.crossJoin( // 1×1
             ratings.agg(countDistinct("user_id").as("n_users_total")))
           .select(col("n_users_total"), col("bad_rank_users"),
