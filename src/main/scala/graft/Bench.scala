@@ -282,10 +282,14 @@ object Bench {
       // file would read as "109 queries removed" (review finding r19).
       // key on the probe OUTCOME, not the output filename — a
       // SPARK_GRAFT_BENCH_OUT override during a probe would otherwise
-      // re-open the clobber (review pass 2)
+      // re-open the clobber (review pass 2) — and ALSO on whether any
+      // shape was actually captured: an all-queries-failed run whose
+      // warmup read happened to succeed (partially populated sfDir) is
+      // not probeRun but still has nothing to stamp, and an empty map
+      // must never overwrite the round's baseline (review pass 3)
       val shapePath = outPath.resolveSibling(
         if (only.isDefined) "plan_shape_subset.json"
-        else if (probeRun) "plan_shape_probe.json"
+        else if (probeRun || shapes.isEmpty) "plan_shape_probe.json"
         else "plan_shape.json")
       java.nio.file.Files.write(shapePath,
         (PlanShape.toJson(shapes) + "\n")

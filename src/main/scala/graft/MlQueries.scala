@@ -124,10 +124,18 @@ object MlQueries {
             .otherwise(0L)).as("unnamed")))
         val known = ratings.select("user_id").distinct()
           .withColumn("known", lit(1))
-        // coalesce: on an EMPTY recommendation frame (degenerate fixture)
-        // the sums aggregate to NULL, and the typed head() below would
-        // throw instead of returning a comparable zero row (review pass 2)
+        // coalesce: on an EMPTY recommendation frame the sums aggregate
+        // to NULL and the typed head() would throw. Zero-filling alone
+        // would be WORSE than the crash — (5, n, 0, 0, 0, 0) is exactly
+        // the oracle's pinned-zero row, so a recommender that recommends
+        // NOTHING would read green (review pass 3). The coverage claim
+        // below makes emptiness (and any silent-empty regression in the
+        // recommendTopK lineage) an explicit red: n_audited_users must
+        // reach a majority of the derivation's users — per-user dropout
+        // from the 0.8 train split is 0.2^n_ratings, so real coverage is
+        // ~100% and the ½ floor is distribution-safe.
         val verdict = audited.join(known, Seq("user_id"), "left").agg(
+          count(lit(1)).as("n_audited_users"),
           coalesce(sum(when(col("n") =!= 5 || !col("ranks_ok"), 1L)
             .otherwise(0L)), lit(0L)).as("bad_rank_users"),
           coalesce(sum(col("inversions")), lit(0L)).as("score_inversions"),
@@ -136,13 +144,14 @@ object MlQueries {
             lit(0L)).as("n_unknown_users"))
         val row = verdict.crossJoin( // 1×1
             ratings.agg(countDistinct("user_id").as("n_users_total")))
-          .select(col("n_users_total"), col("bad_rank_users"),
-            col("score_inversions"), col("n_unnamed"),
-            col("n_unknown_users"))
-          .as[(Long, Long, Long, Long, Long)].head()
+          .select(col("n_users_total"), col("n_audited_users"),
+            col("bad_rank_users"), col("score_inversions"),
+            col("n_unnamed"), col("n_unknown_users"))
+          .as[(Long, Long, Long, Long, Long, Long)].head()
         ratings.unpersist()
-        Seq((5, row._1, row._2, row._3, row._4, row._5))
-          .toDF("k", "n_users_total", "bad_rank_users",
+        Seq((5, row._1, row._2 * 2 >= row._1 + 1, row._3, row._4,
+            row._5, row._6))
+          .toDF("k", "n_users_total", "coverage_ok", "bad_rank_users",
             "score_inversions", "n_unnamed", "n_unknown_users")
       },
       Some("""WITH r AS (SELECT o.o_custkey AS user_id
@@ -151,6 +160,7 @@ object MlQueries {
              |           GROUP BY o.o_custkey, l.l_partkey)
              |SELECT CAST(5 AS INTEGER) AS k,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_total,
+             |  TRUE AS coverage_ok,
              |  CAST(0 AS BIGINT) AS bad_rank_users,
              |  CAST(0 AS BIGINT) AS score_inversions,
              |  CAST(0 AS BIGINT) AS n_unnamed,
@@ -453,16 +463,24 @@ object MlQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val enc = FeaturePipeline.indexAndOneHot(ids,
           Seq("user_id", "item_id"), dropLast = false)
+        // coalesce the maxes to -1 and take the head row as an Option:
+        // on an EMPTY encoded frame the raw NULL max would crash the
+        // typed decode and the bare head() would throw — -1 stats and
+        // -1 widths mismatch every oracle value instead, keeping
+        // emptiness red AND diagnosable (review pass 3's empty-frame
+        // class fix; zero-filling is never safe where 0-adjacent values
+        // could equal an oracle pin)
         val stats = enc.agg(
           countDistinct("user_id").as("u_n"),
           countDistinct("item_id").as("i_n"),
-          (max("user_id_idx") + 1).as("u_max"),
-          (max("item_id_idx") + 1).as("i_max"))
+          coalesce(max("user_id_idx") + 1, lit(-1.0)).as("u_max"),
+          coalesce(max("item_id_idx") + 1, lit(-1.0)).as("i_max"))
           .as[(Long, Long, Double, Double)].head()
-        val h = enc.select("user_id_vec", "item_id_vec").head()
-        val widths = (
-          h.getAs[org.apache.spark.ml.linalg.Vector](0).size.toLong,
-          h.getAs[org.apache.spark.ml.linalg.Vector](1).size.toLong)
+        val widths = enc.select("user_id_vec", "item_id_vec").head(1)
+          .headOption.map { h =>
+            (h.getAs[org.apache.spark.ml.linalg.Vector](0).size.toLong,
+              h.getAs[org.apache.spark.ml.linalg.Vector](1).size.toLong)
+          }.getOrElse((-1L, -1L))
         ids.unpersist()
         Seq(
           ("user_id", stats._1, stats._3.toLong, widths._1,
@@ -600,9 +618,16 @@ object MlQueries {
         // lazy, and Bench/Verify execute it only after this fn returns —
         // unpersisting first would recompute the whole labeled() lineage
         // once per transform branch
+        // coalesce n_diff to -1 on an EMPTY joined frame: the raw NULL
+        // sum would crash the typed head() (undiagnosable red), and a
+        // zero-fill would EQUAL the oracle's n_diff=0 pin — -1 cannot,
+        // so emptiness stays red and diagnosable (n_rows=0 also
+        // mismatches the oracle's join count; review pass 3's
+        // empty-frame class fix)
         val (nRows, nDiff) = joined.agg(
           count(lit(1)).as("n_rows"),
-          sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)).as("n_diff"))
+          coalesce(sum(when(col("p1") =!= col("p2"), 1L).otherwise(0L)),
+            lit(-1L)).as("n_diff"))
           .as[(Long, Long)].head()
         df.unpersist()
         Seq((nRows, nDiff)).toDF("n_rows", "n_diff")
