@@ -13,6 +13,13 @@ OUT_DIR="${2:-target/verify_sf01_promotion}"
 # default = the per-round scale-sensitive promotion family.
 QUERIES="${3:-q31_dedup_jaccard,q32_dedup_minhash,q33_dedup_simhash,q65_asof_join,q71_dedup_clusters,q72_dedup_compact,q87_minhash_production}"
 
+# GRAFT_VERIFY_STRICT=1: a float pair that matches only via the 1e-9
+# slack (and is not a mispairing of bit-identical rows) FAILS the gate
+# — the driver's hash is bit-exact, so a slack-dependent local pass is
+# a driver-red in waiting (the r18 qml60 class). The registry measures
+# ZERO slack-dependent passes, so this locks that property in.
+export GRAFT_VERIFY_STRICT=1
+
 if [ "$QUERIES" = "all" ]; then
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR"
   python3 scripts/verify_local.py "$SF_DIR" "$OUT_DIR"

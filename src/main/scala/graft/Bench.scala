@@ -40,14 +40,14 @@ object Bench {
     spark.range(100).count()
     // best-effort: an unreadable sfDir must surface as per-query -1 rows
     // (the honesty contract), not kill the run before the first query.
-    // Remember the failure: a probe against a bad dir must also not
-    // overwrite the round's full-map artifact below.
-    val warmupOk =
-      try { spark.read.parquet(s"$sfDir/region.parquet").limit(1).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup read failed: $e")
-        false
-      }
+    // The read's success no longer feeds the probe routing (that keys on
+    // the all-queries-failed OUTCOME since review pass 4 — a partially
+    // populated sfDir passes this region-only read); it remains as the
+    // I/O-stack warm-up and an early stderr signal.
+    try spark.read.parquet(s"$sfDir/region.parquet").limit(1).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup read failed: $e")
+    }
     val selected = QueryRegistry.all
       .filter(q => only.forall(_.contains(q.name)))
     def fmt(v: Double): String =
@@ -253,12 +253,20 @@ object Bench {
     // Subset runs (SPARK_GRAFT_ONLY) and failure probes default to
     // different files so an ad-hoc probe never clobbers the round's
     // full-map artifact. Probe routing keys on the actual run OUTCOME
-    // (warmup failed AND every query failed — the unreadable-sfDir
-    // signature), not the warmup read alone: a transient warmup failure
-    // on a genuine full run (all queries green) must still land in
-    // bench_out.json (ADVICE r11). The chosen path rides in the totals
-    // line ("out") so the driver can detect any diversion from stdout.
-    val probeRun = !warmupOk && results.nonEmpty && nFailed == results.size
+    // (every query failed — an unreadable or partially populated sfDir),
+    // not the warmup read: a transient warmup failure on a genuine full
+    // run (all queries green) must still land in bench_out.json
+    // (ADVICE r11). The chosen path rides in the totals line ("out") so
+    // the driver can detect any diversion from stdout.
+    // ANY all-queries-failed run is probe-class, whether or not the
+    // warmup read survived (a partially populated sfDir passes the
+    // region-only warmup): a genuine full run never fails 100%, and an
+    // all-minus-1 map written to bench_out.json would become the re-run
+    // reference — non-positive values never trigger, so the protection
+    // would be off with zero observability (review pass 4). ADVICE r11's
+    // case (transient warmup failure, all queries green) still routes to
+    // bench_out.json because nFailed == 0 there.
+    val probeRun = results.nonEmpty && nFailed == results.size
     val defaultOut =
       if (only.isDefined) "target/bench_subset.json"
       else if (probeRun) "target/bench_probe.json"

@@ -166,7 +166,7 @@ object MlQueries {
              |  CAST(0 AS BIGINT) AS n_unnamed,
              |  CAST(0 AS BIGINT) AS n_unknown_users
              |FROM r""".stripMargin),
-      doc = "reference als.py end-to-end: ALS fit + recommendForAllUsers + explode/round + J3 name-dim join (als.py:48-49); oracle-checked since r19 — exactly-k contiguous ranks per user, round-4 score monotonicity, all items name-resolved, rec users ⊆ ratings users (pinned zeros) + n_users_total recomputed by DuckDB from the ratings derivation"),
+      doc = "reference als.py end-to-end: ALS fit + recommendForAllUsers + explode/round + J3 name-dim join (als.py:48-49); oracle-checked since r19 — exactly-k contiguous ranks per user, round-4 score monotonicity, all items name-resolved, rec users ⊆ ratings users (pinned zeros), majority user coverage (coverage_ok — an empty or silently-empty recommendation frame reads RED, never a zero-filled green) + n_users_total recomputed by DuckDB from the ratings derivation"),
 
     // ---- M1–M6 feature pipeline -----------------------------------------
     GQuery("qml51_feature_pipeline",
