@@ -12,6 +12,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.001}"
+# same hard gate as scale_check.sh: a slack-dependent float pass (values
+# equal only via the 1e-9 tolerance, not bit-exact as multisets) FAILS —
+# the driver's hash is bit-exact, so a WARN-and-exit-0 here would certify
+# a driver-red (review pass 5: the strict lock-in must cover BOTH oracle
+# gate scripts, or the registry-wide zero-slack property is only half a
+# gate)
+export GRAFT_VERIFY_STRICT=1
 
 EVQ="q23_dropna,q27_window_tumbling,q28_window_sliding,q29_user_hourly,q53_session_window,q54_rolling_avg,q60_json_extract,q61_json_roundtrip,q63_partition_pruning,q65_asof_join,q67_band_join,q74_window_analytics"
 DTQ="q05_round_cast,q70_range_cluster,q75_scalar_functions,q89_zorder_cluster"

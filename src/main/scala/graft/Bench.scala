@@ -291,10 +291,11 @@ object Bench {
       // key on the probe OUTCOME, not the output filename — a
       // SPARK_GRAFT_BENCH_OUT override during a probe would otherwise
       // re-open the clobber (review pass 2) — and ALSO on whether any
-      // shape was actually captured: an all-queries-failed run whose
-      // warmup read happened to succeed (partially populated sfDir) is
-      // not probeRun but still has nothing to stamp, and an empty map
-      // must never overwrite the round's baseline (review pass 3)
+      // shape was actually captured: probeRun (all queries failed)
+      // already covers the no-successful-run case, so shapes.isEmpty is
+      // the belt-and-braces guard for the remaining sliver — every
+      // per-query CAPTURE threw on an otherwise green run — where an
+      // empty map must still never overwrite the round's baseline
       val shapePath = outPath.resolveSibling(
         if (only.isDefined) "plan_shape_subset.json"
         else if (probeRun || shapes.isEmpty) "plan_shape_probe.json"
