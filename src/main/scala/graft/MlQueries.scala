@@ -3,22 +3,18 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ml.{Classifiers, FeaturePipeline, Recsys}
 
-/** ML-layer queries (SURVEY.md §2.9). Raw vector payloads and fitted-model
-  * internals are not SQL-expressible, so SOME of these carry no oracle
-  * (the contract's rows-only check, `SparkEntry.scala:10-11`) — but a qml
-  * prefix does NOT imply rows-only: since r18/r19, every ML query whose
-  * output has checkable semantics carries one (qml52/qml57/qml60 via
-  * invariant claims + DuckDB-recomputable values, qml55/qml59 via exact
-  * values, qml50/qml53/qml54 via count parity + domain theorems; the
-  * q76/q77 expected-TRUE pattern; qml56/qml58 via per-query contract
-  * verdicts + DuckDB-recomputed keys/counts). The ONE remaining
-  * rows-only entry, qml51, is genuinely non-expressible end to end: its
-  * output IS the ml.feature vector payloads (sparse one-hot and
-  * scaled dense vectors as strings — Java's shortest-representation
-  * double formatting is not replicable in SQL); their relational
-  * fragments are oracle-checked as q96. Exact-metric coverage lives in
-  * the ScalaTest suite. Inputs are derived deterministically from the
-  * fixtures; all seeds pinned.
+/** ML-layer queries (SURVEY.md §2.9). Since r20 EVERY entry here is
+  * oracle-checked — a qml prefix does not imply a weaker check:
+  * qml52/qml57/qml60 via invariant claims + DuckDB-recomputable values,
+  * qml55/qml59 via exact values, qml50/qml53/qml54 via count parity +
+  * domain theorems (the q76/q77 expected-TRUE pattern), qml56/qml58 via
+  * per-query contract verdicts + DuckDB-recomputed keys/counts, and
+  * qml51 (the last rows-only holdout, converted r20) via
+  * vector_to_array + round-6 values — the only genuinely
+  * non-SQL-replicable part of its old emission was Java's
+  * shortest-representation double FORMATTING, not the values.
+  * Exact-metric coverage lives in the ScalaTest suite. Inputs are
+  * derived deterministically from the fixtures; all seeds pinned.
   */
 object MlQueries {
 
@@ -171,17 +167,59 @@ object MlQueries {
     // ---- M1–M6 feature pipeline -----------------------------------------
     GQuery("qml51_feature_pipeline",
       (s, d) => {
+        // Oracle-converted r20 (VERDICT r19 #1): the r17-r19 rows-only
+        // justification ("vector payloads are not SQL-replicable") only
+        // ever covered the cast-to-string shortest-repr double FORMATTING
+        // — the VALUES are replicable. vector_to_array unpacks both
+        // payloads: the one-hot layout reduces to (size, nnz_index) —
+        // q96's proven oracle arithmetic — and MinMaxScaler with default
+        // [0,1] range computes raw*1.0 + 0.0 where raw =
+        // (x−colMin)/(colMax−colMin) (constant-range column → 0.5), i.e.
+        // plain IEEE double arithmetic DuckDB reproduces bit-exactly
+        // (q16 established round-6 parity for exactly this expression on
+        // c_acctbal). The REAL ml.feature stages still run end to end —
+        // only the emission changed.
+        import org.apache.spark.ml.functions.vector_to_array
         val c = Tables.customer(s, d)
         val indexed = FeaturePipeline.indexAndOneHot(c, Seq("c_mktsegment"))
         val scaled = FeaturePipeline.assembleAndScale(indexed,
           Seq("c_acctbal", "c_nationkey"))
-        scaled.select(col("c_custkey"), col("c_mktsegment_idx"),
-            col("c_mktsegment_vec").cast("string").as("onehot"),
-            col("scaled_features").cast("string").as("scaled"))
+        scaled.select(col("c_custkey"),
+            col("c_mktsegment_idx").cast("long").as("idx"),
+            vector_to_array(col("c_mktsegment_vec")).as("oh"),
+            vector_to_array(col("scaled_features")).as("sf"))
+          .select(col("c_custkey"), col("idx"),
+            size(col("oh")).as("vec_size"),
+            (array_position(col("oh"), 1.0) - 1).cast("int").as("nnz_index"),
+            round(element_at(col("sf"), 1), 6).as("scaled_acctbal"),
+            round(element_at(col("sf"), 2), 6).as("scaled_nationkey"))
           .orderBy("c_custkey")
       },
-      None,
-      doc = "StringIndexer→OneHotEncoder→VectorAssembler→MinMaxScaler (reference fmreg.py:20-37); the vector payloads are rows-only — the pipeline's deterministic fragments are oracle-checked as q96"),
+      Some("""WITH freq AS (SELECT c_mktsegment, count(*) AS cnt
+             |              FROM customer GROUP BY 1),
+             |dict AS (SELECT c_mktsegment,
+             |           CAST(row_number() OVER (ORDER BY cnt DESC,
+             |                c_mktsegment) - 1 AS BIGINT) AS idx,
+             |           CAST(count(*) OVER () AS INTEGER) AS ncat
+             |         FROM freq),
+             |mm AS (SELECT min(c_acctbal) AS bmn, max(c_acctbal) AS bmx,
+             |         CAST(min(c_nationkey) AS DOUBLE) AS nmn,
+             |         CAST(max(c_nationkey) AS DOUBLE) AS nmx
+             |       FROM customer)
+             |SELECT c.c_custkey, d.idx,
+             |  CAST(d.ncat - 1 AS INTEGER) AS vec_size,
+             |  CAST(CASE WHEN d.idx < d.ncat - 1 THEN d.idx ELSE -1 END
+             |       AS INTEGER) AS nnz_index,
+             |  round(CASE WHEN mm.bmx = mm.bmn THEN CAST(0.5 AS DOUBLE)
+             |             ELSE (c.c_acctbal - mm.bmn) / (mm.bmx - mm.bmn)
+             |        END, 6) AS scaled_acctbal,
+             |  round(CASE WHEN mm.nmx = mm.nmn THEN CAST(0.5 AS DOUBLE)
+             |             ELSE (CAST(c.c_nationkey AS DOUBLE) - mm.nmn) /
+             |                  (mm.nmx - mm.nmn)
+             |        END, 6) AS scaled_nationkey
+             |FROM customer c JOIN dict d USING (c_mktsegment), mm
+             |ORDER BY c.c_custkey""".stripMargin),
+      doc = "StringIndexer→OneHotEncoder→VectorAssembler→MinMaxScaler (reference fmreg.py:20-37), oracle-checked since r20: one-hot layout via q96's dictionary arithmetic, scaled values via DuckDB's (x-min)/(max-min) recomputation (round-6 parity established by q16)"),
 
     // ---- M1+M2 deterministic fragments, oracle-checked -------------------
     GQuery("q96_feature_meta",

@@ -19,7 +19,7 @@ object SparkEntry {
     QueryRegistry.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for vector-typed / model outputs
-    * (driver records a rows-only check). */
+    * the same parquet tables. Total over the registry since r20 — every
+    * query (ML included) is oracle-checked. */
   def oracleSql: Map[String, String] = QueryRegistry.oracleSql
 }

@@ -11,10 +11,11 @@ class RegistrySpec extends AnyFunSuite {
     assert(names.forall(_.matches("q(ml)?[0-9]+_[a-z0-9_]+")))
   }
 
-  test("every non-ML query carries a DuckDB oracle") {
+  test("every query carries a DuckDB oracle (109/109 since r20)") {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name)
-    // vector-typed / model outputs are the ONLY permitted omissions
-    assert(noOracle.forall(_.startsWith("qml")), s"missing oracle: $noOracle")
+    // r20 retired the last rows-only entry (qml51): the registry is
+    // fully oracle-checked and must never regress to a weaker check
+    assert(noOracle.isEmpty, s"missing oracle: $noOracle")
   }
 
   test("oracle SQL never references fixture paths or engine internals") {
