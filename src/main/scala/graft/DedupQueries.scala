@@ -501,6 +501,75 @@ object DedupQueries {
               |  FROM scored)
               |SELECT cluster, doc_id AS kept_doc, quality
               |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin),
-      doc = "quality-aware compaction: keep the argmax-quality member per near-dup cluster (q38's rounded bit-reproducible score as the cross-engine sort key, doc_id tie-break) via topKPerGroup — WindowGroupLimit partitioned by cluster, one survivor per cluster past the shuffle")
+      doc = "quality-aware compaction: keep the argmax-quality member per near-dup cluster (q38's rounded bit-reproducible score as the cross-engine sort key, doc_id tie-break) via topKPerGroup — WindowGroupLimit partitioned by cluster, one survivor per cluster past the shuffle"),
+
+    // ---- paragraph-level dedup (sub-document boilerplate) ---------------
+    GQuery("q99_para_dedup",
+      (s, d) => {
+        // VERDICT r19 #3: whole-doc dedup (q30-q33) misses repeated
+        // PARAGRAPHS inside otherwise-unique documents — the dominant
+        // boilerplate class in real corpora. Paragraph stream is
+        // row-local (Dedup.paragraphHashes: q98's slicing + md5 — only
+        // 16-byte digests shuffle, q30's scale posture per paragraph);
+        // one hash aggregation on the digest gives survivor + spread.
+        Dedup.paragraphHashes(Tables.documents(s, d), "doc_id", "text",
+            paraLen = 32)
+          .groupBy("para_hash")
+          .agg(min(col("doc_id")).as("survivor_id"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"))
+          .filter(col("n_occurrences") > 1)
+          .orderBy("para_hash")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |p AS (SELECT doc_id,
+             |        md5(array_to_string(t[i+1 : least(i+32, len(t))], ' '))
+             |          AS para_hash
+             |      FROM toks, unnest(generate_series(0,
+             |        greatest(len(t) - 1, 0), 32)) AS u(i))
+             |SELECT para_hash, min(doc_id) AS survivor_id,
+             |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM p GROUP BY 1 HAVING count(*) > 1
+             |ORDER BY 1""".stripMargin),
+      doc = "paragraph-level exact dedup: 32-token non-overlapping blocks (q98's slicing arithmetic, stride == len) hashed row-local, survivor + occurrence spread per repeated paragraph off ONE digest aggregation — sub-document boilerplate whole-doc dedup cannot see"),
+
+    GQuery("q101_para_dup_ratio",
+      (s, d) => {
+        // The per-doc rollup of q99 — the actionable filter signal at
+        // corpus scale ("drop docs that are >x% boilerplate"). Corpus-
+        // wide occurrence counts via a digest-partitioned window (one
+        // shuffle on 16-byte digests), then a per-doc aggregation; the
+        // ratio divides exact small-int counts, so the double is
+        // bit-reproducible cross-engine.
+        import org.apache.spark.sql.expressions.Window
+        val p = Dedup.paragraphHashes(Tables.documents(s, d), "doc_id",
+          "text", paraLen = 32)
+        p.withColumn("n", count(lit(1)).over(Window.partitionBy("para_hash")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+          .withColumn("dup_ratio",
+            round(col("n_dup_paras").cast("double") / col("n_paras"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |p AS (SELECT doc_id,
+             |        md5(array_to_string(t[i+1 : least(i+32, len(t))], ' '))
+             |          AS para_hash
+             |      FROM toks, unnest(generate_series(0,
+             |        greatest(len(t) - 1, 0), 32)) AS u(i)),
+             |c AS (SELECT doc_id,
+             |        count(*) OVER (PARTITION BY para_hash) AS n
+             |      FROM p)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+             |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_paras,
+             |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(*), 6) AS dup_ratio
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "per-doc duplicate-paragraph ratio — q99's corpus-wide digest counts folded back onto each document (digest-partitioned window, one shuffle) as the keep/drop boilerplate signal")
   )
 }

@@ -373,7 +373,39 @@ object TextQueries {
              |  md5(array_to_string(t[i+1 : least(i+64, len(t))], ' '))
              |    AS chunk_hash
              |FROM st ORDER BY doc_id, chunk_id""".stripMargin),
-      doc = "overlapping token-window chunking (64-token windows, stride 48): the pre-tokenization pass that cuts documents into model-window pieces with provenance — row-local HOF slicing, zero shuffle; every boundary, length, and the chunk text (md5) recomputed by DuckDB from the same arithmetic")
+      doc = "overlapping token-window chunking (64-token windows, stride 48): the pre-tokenization pass that cuts documents into model-window pieces with provenance — row-local HOF slicing, zero shuffle; every boundary, length, and the chunk text (md5) recomputed by DuckDB from the same arithmetic"),
+
+    // ---- deterministic epoch shuffle (training-loader ordering) ----------
+    GQuery("q100_epoch_shuffle",
+      (s, d) => {
+        // VERDICT r19 #4: the training-data stage the registry lacked —
+        // a seeded, reproducible reshuffle of the corpus for epoch
+        // ordering. See TextAnalysis.epochShuffle for the scale design
+        // (sharded window = repartition + sortWithinPartitions, NO
+        // single-task global sort; hexWidth sizes shards to tasks).
+        // Oracle: DuckDB recomputes the md5 key, the hex-prefix shard
+        // (strpos arithmetic vs Spark's conv — different route, same
+        // value), and every in-shard rank.
+        graft.ext.TextAnalysis.epochShuffle(
+            Tables.documents(s, d).select("doc_id"), "doc_id",
+            seed = "epoch1", hexWidth = 1)
+          .select(col("doc_id"), col("shuffle_key"), col("shard"),
+            col("epoch_pos"))
+          .orderBy("shard", "epoch_pos")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+             |  FROM documents),
+             |s AS (SELECT doc_id, shuffle_key,
+             |        CAST(strpos('0123456789abcdef',
+             |               substr(shuffle_key, 1, 1)) - 1 AS INTEGER)
+             |          AS shard
+             |      FROM k)
+             |SELECT doc_id, shuffle_key, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS epoch_pos
+             |FROM s ORDER BY shard, epoch_pos""".stripMargin),
+      doc = "deterministic epoch shuffle: seed-keyed md5 order, hex-prefix sharding (16^hexWidth shards sized to tasks), in-shard rank via a shard-partitioned window — one shuffle, no global single-task sort; same seed + ids reproduce the identical epoch order on any cluster/retry, a new seed reshuffles the next epoch")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

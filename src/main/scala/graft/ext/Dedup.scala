@@ -31,6 +31,24 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
 
+  /** Paragraph stream for SUB-document dedup (VERDICT r19 #3): whole-doc
+    * dedup misses the dominant boilerplate class in real corpora —
+    * repeated paragraphs inside otherwise-unique documents. The fixture
+    * corpus carries no explicit paragraph separators, so "paragraph" =
+    * non-overlapping `paraLen`-token block ([[TextAnalysis.chunk]] with
+    * stride == chunkLen — same slicing arithmetic q98 pins against the
+    * oracle at every legal combo); a corpus with real separators would
+    * swap the splitter, not this pipeline. Row-local (HOF slice + md5,
+    * zero shuffle): only the 16-byte digests ever leave the mappers —
+    * the q30 scale posture, now per paragraph.
+    * Output: (idCol, para_id, para_hash). */
+  def paragraphHashes(df: DataFrame, idCol: String, textCol: String,
+                      paraLen: Int): DataFrame =
+    TextAnalysis.chunk(df, idCol, textCol,
+        chunkLen = paraLen, stride = paraLen)
+      .select(col(idCol), col("chunk_id").as("para_id"),
+        md5(col("chunk_text")).as("para_hash"))
+
   /** Distinct word n-gram shingles, row-local (split + HOF slide, no
     * shuffle — `array_distinct` dedupes within the row BEFORE the explode,
     * so (id, shingle) rows are already unique and no distinct shuffle is

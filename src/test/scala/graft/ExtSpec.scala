@@ -426,4 +426,47 @@ class ExtSpec extends AnyFunSuite {
       assert(lc == expect, s"doc $id len_clean=$lc expected=$expect")
     }
   }
+
+  test("paragraphHashes: non-overlapping blocks partition every token, " +
+    "identical blocks hash identically across docs") {
+    val d = docs(
+      1L -> (1 to 70).map(i => s"t$i").mkString(" "),      // 3 paras: 32+32+6
+      2L -> (1 to 32).map(i => s"t$i").mkString(" "),      // == doc 1 para 0
+      3L -> "solo")
+    val p = Dedup.paragraphHashes(d, "doc_id", "text", paraLen = 32)
+      .select("doc_id", "para_id", "para_hash")
+      .as[(Long, Int, String)].collect()
+    assert(p.count(_._1 == 1L) == 3 && p.count(_._1 == 2L) == 1 &&
+      p.count(_._1 == 3L) == 1)
+    // stride == len: paragraph ids are contiguous from 0
+    assert(p.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(0, 1, 2))
+    // doc 2 IS doc 1's first paragraph — sub-document dedup's raison d'etre
+    val h1 = p.find(r => r._1 == 1L && r._2 == 0).get._3
+    assert(p.find(_._1 == 2L).get._3 == h1)
+    assert(p.find(_._1 == 3L).get._3 != h1)
+  }
+
+  test("epochShuffle: reproducible for a seed, reshuffled by the next, " +
+    "ranks contiguous per shard, shards in range") {
+    val d = docs((0L until 200L).map(i => i -> s"doc $i"): _*)
+    def run(seed: String) = TextAnalysis.epochShuffle(d, "doc_id", seed)
+      .select("doc_id", "shuffle_key", "shard", "epoch_pos")
+      .as[(Long, String, Int, Long)].collect().sortBy(_._1).toSeq
+    val a = run("epoch1")
+    assert(run("epoch1") == a, "same seed must reproduce the epoch order")
+    val b = run("epoch2")
+    assert(a.map(r => (r._1, r._3, r._4)) != b.map(r => (r._1, r._3, r._4)),
+      "a new seed must reshuffle")
+    assert(a.forall(r => r._3 >= 0 && r._3 < 16))
+    // per shard: epoch_pos is exactly 1..n (a training loader walks it)
+    a.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq,
+        s"shard $shard ranks not contiguous")
+    }
+    // the md5 key is order-defining: within a shard, pos follows key
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4).map(_._2)
+      assert(byPos == byPos.sorted)
+    }
+  }
 }
