@@ -8,15 +8,41 @@ registry never shrinks silently; a probe-clobbered empty stamp must
 read red, not OK). Added queries alone are registry growth: exit 0.
 
 Usage: python3 scripts/plan_shape_diff.py <old.json> <new.json>
+
+Exit codes: 0 unchanged (additions allowed), 1 shape changed or query
+removed, 2 usage/malformed input (ADVICE r19: a gate script must
+diagnose bad input, not traceback).
 """
 import json
 import sys
 
 
+def load_stamp(path):
+    """A stamp must be a JSON object of per-query objects; anything else
+    (a list, a truncated file, unreadable path) exits 2 with a
+    diagnostic instead of a bare traceback."""
+    try:
+        with open(path) as f:
+            stamp = json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"plan_shape_diff: cannot read stamp {path}: {e}",
+              file=sys.stderr)
+        sys.exit(2)
+    if not isinstance(stamp, dict) or not all(
+            isinstance(v, dict) for v in stamp.values()):
+        print(f"plan_shape_diff: {path} is not a "
+              "{query -> {field -> value}} stamp", file=sys.stderr)
+        sys.exit(2)
+    return stamp
+
+
 def main():
-    old_path, new_path = sys.argv[1], sys.argv[2]
-    old = json.load(open(old_path))
-    new = json.load(open(new_path))
+    if len(sys.argv) != 3:
+        print("usage: plan_shape_diff.py <old.json> <new.json>",
+              file=sys.stderr)
+        sys.exit(2)
+    old = load_stamp(sys.argv[1])
+    new = load_stamp(sys.argv[2])
     changed = False
     for name in sorted(set(old) & set(new)):
         o, n = old[name], new[name]

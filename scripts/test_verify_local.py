@@ -259,6 +259,13 @@ with tempfile.TemporaryDirectory() as tmp:
     assert not vl.bitexact_multiset_equal(
         [{"z": a}, {"z": a}], [{"z": b}, {"z": a}], ["z"])
     assert not vl.bitexact_multiset_equal([{"z": -0.0}], [{"z": 0.0}], ["z"])
+    # kind-tagged keys (ADVICE r19): a bytes cell equal to a float's
+    # IEEE bytes (or to b"nan") must never key like the float cell
+    import struct as _struct
+    assert not vl.bitexact_multiset_equal(
+        [{"z": 0.1}], [{"z": _struct.pack("<d", 0.1)}], ["z"])
+    assert not vl.bitexact_multiset_equal(
+        [{"z": float("nan")}], [{"z": b"nan"}], ["z"])
     json.dump({"qz": f"SELECT CAST({b!r} AS DOUBLE) AS z "
                      f"UNION ALL SELECT CAST({a!r} AS DOUBLE)"},
               open(os.path.join(out, "oracle_sql.json"), "w"))
@@ -271,4 +278,4 @@ with tempfile.TemporaryDirectory() as tmp:
     assert r.returncode == 0 and "PASS qz" in r.stdout \
         and "slack" not in r.stdout, (r.returncode, r.stdout)
 
-print("verify_local self-test: 42 cases OK")
+print("verify_local self-test: 44 cases OK")

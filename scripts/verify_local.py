@@ -81,10 +81,14 @@ def bitexact_key(row, cols):
     key = []
     for c in cols:
         v = row[c]
+        # kind-tagged (ADVICE r19): a bytes cell that happens to equal
+        # b"nan" or a float's IEEE bytes must never key like a float
+        # cell in a mixed/cross-typed column
         if isinstance(v, float):
-            key.append(b"nan" if math.isnan(v) else struct.pack("<d", v))
+            key.append(("f", "nan") if math.isnan(v)
+                       else ("f", struct.pack("<d", v)))
         elif isinstance(v, bytes):
-            key.append(v)
+            key.append(("b", v))
         else:
             key.append((type(v).__name__, str(v)))
     return tuple(key)

@@ -52,7 +52,14 @@ object PlanShape {
     * until runtime, which would pin `wholestage` uniformly false. The
     * conf toggle is restored immediately; the re-planned Dataset (a
     * no-op filter wrapper, pruned by the optimizer) is never executed —
-    * the capture costs driver-side planning only. */
+    * the capture costs driver-side planning only.
+    *
+    * NOT reentrant/thread-safe (ADVICE r19): the toggle mutates the
+    * session-global conf, so a query planned CONCURRENTLY in the same
+    * session during the capture window would plan with AQE off. Both
+    * callers (Bench, PlanStamp) are strictly sequential; keep it that
+    * way, or capture via a cloned `spark.newSession()` if a parallel
+    * caller ever appears. */
   def of(df: DataFrame): Shape = {
     val spark = df.sparkSession
     val key = "spark.sql.adaptive.enabled"

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone plan-shape stamp writer (VERDICT r19 #2): produces the same
+  * per-query `{n_exchanges, has_broadcast, wholestage}` JSON Bench emits,
+  * WITHOUT the timed runs — so the plan-regression gate
+  * (`scripts/plan_gate.sh`) can run standalone, not only as a by-product
+  * of a full bench. Building a query's DataFrame is planning-only for
+  * the relational registry; the eager ML-harness queries execute their
+  * fits while constructing their verdict relations, so a full stamp
+  * costs roughly the ML subtotal (~40 s at sf0.1), still far below a
+  * full bench.
+  *
+  * A query whose construction or capture throws is OMITTED from the
+  * stamp — the diff then reports it as REMOVED and exits 1, so a
+  * failure can never read as a clean gate.
+  *
+  * Usage: runMain graft.PlanStamp [sfDir] [outPath]
+  * Defaults: sf0.1 (the scale the committed plan_shape_r*.json baselines
+  * were captured at — broadcast decisions key on file-size stats, so the
+  * diff must compare same-scale stamps) and target/plan_shape_stamp.json
+  * (never the bench-owned target/plan_shape.json).
+  */
+object PlanStamp {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.drop(1).headOption
+      .getOrElse("target/plan_shape_stamp.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = OnlyFilter.resolve("planstamp",
+      QueryRegistry.all.map(_.name).toSet)
+    // same session knobs as Bench — the stamp must describe the plans
+    // the bench (and a cluster deploy) would get
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val selected = QueryRegistry.all
+      .filter(q => only.forall(_.contains(q.name)))
+    val shapes = selected.flatMap { q =>
+      val shape = try Some(q.name -> PlanShape.of(q.fn(spark, sfDir)))
+      catch { case e: Throwable =>
+        System.err.println(s"[planstamp] ${q.name} FAILED (omitted — " +
+          s"diff will read it as REMOVED): $e")
+        None
+      }
+      // release anything a multi-pass op left persisted, as Bench does
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      shape
+    }.toMap
+    val p = java.nio.file.Paths.get(outPath)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, (PlanShape.toJson(shapes) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[planstamp] ${shapes.size}/${selected.size} shapes -> $p")
+    spark.stop()
+    if (shapes.size != selected.size) sys.exit(1)
+  }
+}
