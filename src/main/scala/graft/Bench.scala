@@ -86,7 +86,7 @@ object Bench {
     // (BenchRerun.scala: the r16/r17 false-regression class — environ-
     // mental hits on sub-second plans — killed at the source; re-run
     // names ride in the "reruns" field, raw extra runs in "runs").
-    val Protocol = "min2_med3_sub5s_med5_sub2s_split_rerun"
+    val Protocol = "min2_med3_sub5s_med5_sub2s_split_rerun_famsplit"
     // Host context at run START (best-effort, Linux /proc; empty string
     // off-Linux or on any read failure). The r16→r17 adjudication of a
     // uniform driver-side slowdown hinged on host state the artifact
@@ -237,6 +237,21 @@ object Bench {
     val mlfit = results.collect {
       case (k, v, None, _) if k.startsWith("qml") => v }.sum
     val relational = total - mlfit
+    // _famsplit v5 (VERDICT r19 #5): the mlfit series swings 2-3×
+    // intrinsically and qml53 alone is ~10% of total — break the fit
+    // subtotal into its iterative-fit families so a driver-map swing is
+    // attributable from the artifact alone (als = the checkpointed ALS
+    // fits, classifiers = the TVS/FM/LogReg/tree grid fits, other = the
+    // one-shot feature/PCA/ANN stages). als + classifiers + other ==
+    // value_mlfit by construction.
+    val AlsFamily = Set("qml50_als_topk", "qml58_als_grid")
+    val ClassifierFamily =
+      Set("qml53_classifiers", "qml54_fmreg", "qml55_model_io")
+    def famSum(in: String => Boolean) = results.collect {
+      case (k, v, None, _) if k.startsWith("qml") && in(k) => v }.sum
+    val mlfitAls = famSum(AlsFamily)
+    val mlfitClassifiers = famSum(ClassifierFamily)
+    val mlfitOther = famSum(k => !AlsFamily(k) && !ClassifierFamily(k))
     val nFailed = results.count(_._3.isDefined)
     // Two artifacts, one contract: the driver tails stdout, and the full
     // JSON with every raw `runs` array has repeatedly outgrown that tail
@@ -274,7 +289,7 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut))
     val rerunsJson = rerunNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","reruns":$rerunsJson,"sf":"${jsonStr(sfDir)}","out":"${jsonStr(outPath.toString)}"$hostJson"""
+    val totals = s""""metric":"total","value":$total,"value_relational":$relational,"value_mlfit":$mlfit,"value_mlfit_als":$mlfitAls,"value_mlfit_classifiers":$mlfitClassifiers,"value_mlfit_other":$mlfitOther,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"protocol":"$Protocol","reruns":$rerunsJson,"sf":"${jsonStr(sfDir)}","out":"${jsonStr(outPath.toString)}"$hostJson"""
     val json = s"""{$totals,"queries":$qs,"errors":$errs,"runs":$allRuns}"""
     println(s"""{$totals,"queries":$qs,"errors":$errs}""")
     try {
