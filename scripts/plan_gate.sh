@@ -24,10 +24,17 @@ cd "$(dirname "$0")/.."
 python3 scripts/test_plan_shape_diff.py
 
 BASELINE="${1:-$(ls plan_shape_r*.json | sort -V | tail -1)}"
-NEW="${2:-target/plan_shape_stamp.json}"
 
-if [ ! -f "$NEW" ]; then
-  echo "[plan_gate] $NEW missing — stamping current binary (PlanStamp)"
+if [ -n "${2:-}" ]; then
+  # caller supplied a stamp (e.g. target/plan_shape.json from the last
+  # full bench) — gate on it as-is
+  NEW="$2"
+else
+  # ALWAYS re-stamp the current binary (review r20 #1: reusing a
+  # leftover stamp file would diff a PRE-change plan and green-light a
+  # regressed binary — the stamp must describe the code being gated)
+  NEW="target/plan_shape_stamp.json"
+  echo "[plan_gate] stamping current binary (PlanStamp) -> $NEW"
   sbt -batch "runMain graft.PlanStamp /root/testdata/sf0.1 $NEW"
 fi
 

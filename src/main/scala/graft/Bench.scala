@@ -22,17 +22,10 @@ object Bench {
     // full-suite wall-clock. Resolved BEFORE the SparkSession: a typo'd
     // filter fails in milliseconds, not after Spark startup + warmup.
     val only = OnlyFilter.resolve("bench", QueryRegistry.all.map(_.name).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.maxResultSize", "2g")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session knobs + cache release shared with PlanStamp via
+    // BenchSession — the plan-shape gate compares their plans, so the
+    // conf block is physically one definition (review r20 #3)
+    val spark = BenchSession.build(cpus)
     // warm before timing: JVM/codegen/scheduler init PLUS the Hadoop
     // FileSystem + parquet datasource stack (range().count() alone never
     // touches the I/O path, which is the larger first-touch cost) —
@@ -135,12 +128,9 @@ object Bench {
         catch { case e: Throwable => // never fail a timing over a stamp
           System.err.println(s"[bench] plan-shape stamp failed for ${q.name}: $e")
         }
-      // outside the timer: release frames/RDDs the multi-pass ops leave
-      // persisted for their consumers, so no run inherits cache pressure
-      // (and the second run never reads the first run's caches)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // outside the timer: release caches so no run inherits cache
+      // pressure (and run 2 never reads run 1's caches) — BenchSession
+      BenchSession.releaseCaches(spark)
       (elapsed, err)
     }
     val measured = selected.map { q =>

@@ -30,19 +30,9 @@ object PlanStamp {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = OnlyFilter.resolve("planstamp",
       QueryRegistry.all.map(_.name).toSet)
-    // same session knobs as Bench — the stamp must describe the plans
-    // the bench (and a cluster deploy) would get
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.maxResultSize", "2g")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SAME session knobs as Bench, by construction (BenchSession —
+    // the stamp must describe the plans the bench would get)
+    val spark = BenchSession.build(cpus)
     val selected = QueryRegistry.all
       .filter(q => only.forall(_.contains(q.name)))
     val shapes = selected.flatMap { q =>
@@ -53,9 +43,7 @@ object PlanStamp {
         None
       }
       // release anything a multi-pass op left persisted, as Bench does
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      BenchSession.releaseCaches(spark)
       shape
     }.toMap
     val p = java.nio.file.Paths.get(outPath)

@@ -142,11 +142,15 @@ object TextAnalysis {
     * (this fixture), 2 → 256, 3 → 4096 for a 1000-executor corpus; md5
     * equidistributes, so shards stay balanced without salting. Changing
     * `seed` reshuffles every epoch; same seed + same ids → the same
-    * order on any cluster, any partitioning, any retry. */
+    * order on any cluster, any partitioning, any retry.
+    * hexWidth caps at 7 (16^7 ≈ 268M shards — far beyond any deploy):
+    * at 8 the shard id can exceed Int.MaxValue and the non-ANSI
+    * string→int cast would null ~half the corpus into one skewed
+    * shard (review r20 #2). */
   def epochShuffle(df: DataFrame, idCol: String, seed: String,
                    hexWidth: Int = 1): DataFrame = {
-    require(hexWidth >= 1 && hexWidth <= 8,
-      s"epochShuffle: hexWidth ($hexWidth) must be in [1, 8]")
+    require(hexWidth >= 1 && hexWidth <= 7,
+      s"epochShuffle: hexWidth ($hexWidth) must be in [1, 7]")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col(idCol))

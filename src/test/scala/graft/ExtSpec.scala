@@ -468,5 +468,11 @@ class ExtSpec extends AnyFunSuite {
       val byPos = rows.sortBy(_._4).map(_._2)
       assert(byPos == byPos.sorted)
     }
+    // hexWidth 8 would overflow the int shard cast (nulling ~half the
+    // corpus into one skewed shard) — must reject, 7 must not
+    intercept[IllegalArgumentException] {
+      TextAnalysis.epochShuffle(d, "doc_id", "s", hexWidth = 8)
+    }
+    TextAnalysis.epochShuffle(d, "doc_id", "s", hexWidth = 7)
   }
 }
