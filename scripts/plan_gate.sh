@@ -8,10 +8,12 @@
 #
 # Usage: bash scripts/plan_gate.sh [baseline.json] [new.json]
 #   baseline: default = newest committed plan_shape_r*.json
-#   new:      default = target/plan_shape_stamp.json, regenerated via
-#             graft.PlanStamp (planning-only; ~1 min with the ML fits)
-#             when absent. Pass target/plan_shape.json to gate on the
-#             last full bench's stamp instead.
+#   new:      when omitted, the current binary is ALWAYS re-stamped to
+#             target/plan_shape_stamp.json via graft.PlanStamp
+#             (planning-only; ~1 min with the ML fits) — a leftover
+#             stamp is never reused. Pass an existing stamp path (e.g.
+#             target/plan_shape.json from the last full bench) to gate
+#             on it as-is; a nonexistent explicit path exits 2.
 #
 # Intentional changes (a redesigned operator, a new query) make the diff
 # exit 1 BY DESIGN: adjudicate the printed lines, then commit the new

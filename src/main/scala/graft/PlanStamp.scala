@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Standalone plan-shape stamp writer (VERDICT r19 #2): produces the same
   * per-query `{n_exchanges, has_broadcast, wholestage}` JSON Bench emits,

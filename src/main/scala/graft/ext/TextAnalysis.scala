@@ -157,6 +157,8 @@ object TextAnalysis {
     df.withColumn("shuffle_key",
         md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
       .withColumn("shard",
+        // int by contract (q100's oracle pins INTEGER); safe only
+        // because the require caps hexWidth at 7 — widen BOTH together
         conv(substring(col("shuffle_key"), 1, hexWidth), 16, 10).cast("int"))
       .withColumn("epoch_pos", row_number().over(w).cast("long"))
   }
