@@ -405,7 +405,34 @@ object TextQueries {
              |  CAST(row_number() OVER (PARTITION BY shard
              |         ORDER BY shuffle_key, doc_id) AS BIGINT) AS epoch_pos
              |FROM s ORDER BY shard, epoch_pos""".stripMargin),
-      doc = "deterministic epoch shuffle: seed-keyed md5 order, hex-prefix sharding (16^hexWidth shards sized to tasks), in-shard rank via a shard-partitioned window — one shuffle, no global single-task sort; same seed + ids reproduce the identical epoch order on any cluster/retry, a new seed reshuffles the next epoch")
+      doc = "deterministic epoch shuffle: seed-keyed md5 order, hex-prefix sharding (16^hexWidth shards sized to tasks), in-shard rank via a shard-partitioned window — one shuffle, no global single-task sort; same seed + ids reproduce the identical epoch order on any cluster/retry, a new seed reshuffles the next epoch"),
+
+    // ---- bigram-LM quality score (perplexity filtering) ------------------
+    GQuery("q102_bigram_lm",
+      (s, d) => graft.ext.TextAnalysis.bigramLm(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |bi AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+             |       FROM toks, unnest(generate_series(1, len(t) - 1))
+             |         AS u(i)),
+             |c2 AS (SELECT a, b, count(*) AS c2 FROM bi GROUP BY 1, 2),
+             |c1 AS (SELECT a, count(*) AS c1 FROM bi GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             |            FROM documents)),
+             |sc AS (SELECT doc_id,
+             |         CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+             |                       CAST(c1.c1 + v.v AS DOUBLE))
+             |                    * 1000000, 0) AS BIGINT) AS micro
+             |       FROM bi JOIN c2 USING (a, b) JOIN c1 USING (a), v)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(micro) AS BIGINT) AS sum_lnp_micro,
+             |  round(CAST(sum(micro) AS DOUBLE) / 1000000 / count(*), 4)
+             |    AS avg_lnp
+             |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "corpus-trained bigram-LM quality score (perplexity filtering): add-one-smoothed P(b|a), per-doc mean log-prob — row-local bigram stream, two count aggregations, two shuffle-parallel joins + broadcast vocab count; each position's ln P is rounded to integer micros BEFORE the per-doc sum (the money-cents pattern) so the cross-engine sum is order-independent and exact")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

@@ -475,4 +475,18 @@ class ExtSpec extends AnyFunSuite {
     }
     TextAnalysis.epochShuffle(d, "doc_id", "s", hexWidth = 7)
   }
+
+  test("bigramLm: exact hand-computed smoothed log-probs, " +
+    "single-token docs drop out") {
+    // corpus: c(a,b)=3, c(b,a)=1; first-word counts a=3, b=1; V=3
+    val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "z")
+    val out = TextAnalysis.bigramLm(d, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_lnp_micro", "avg_lnp")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // ln((3+1)/(3+3)) = ln(2/3) -> -405465 micro; ln((1+1)/(1+3)) =
+    // ln(1/2) -> -693147 micro
+    assert(out == Seq(
+      (1L, 3L, -405465L * 2 + -693147L, -0.5014),
+      (2L, 1L, -405465L, -0.4055)))
+  }
 }

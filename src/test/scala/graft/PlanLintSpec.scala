@@ -29,6 +29,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q26_iqr_outliers",           // 1-row fence agg
     "q57_clean_pipeline",         // composes the fence/mean/mode aggs above
     "q48_tfidf",                  // 1-row corpus doc-count agg
+    "q102_bigram_lm",             // 1-row corpus vocab-count agg
     "q66_approx_agg",             // two 1-row agg frames crossJoined
     "q51_regression_metrics",     // 1-row metric aggs
     "q52_classification_metrics", // 1-row metric aggs
