@@ -11,7 +11,7 @@ OUT_DIR="${2:-target/verify_sf01_promotion}"
 # Third arg "all" = the full-suite certification (every oracle query
 # value-checked at SF_DIR — the round-8 one-shot, repeatable on demand);
 # default = the per-round scale-sensitive promotion family.
-QUERIES="${3:-q31_dedup_jaccard,q32_dedup_minhash,q33_dedup_simhash,q65_asof_join,q71_dedup_clusters,q72_dedup_compact,q87_minhash_production,q99_para_dedup,q100_epoch_shuffle,q101_para_dup_ratio}"
+QUERIES="${3:-q31_dedup_jaccard,q32_dedup_minhash,q33_dedup_simhash,q65_asof_join,q71_dedup_clusters,q72_dedup_compact,q87_minhash_production,q99_para_dedup,q100_epoch_shuffle,q101_para_dup_ratio,q103_incremental_dedup}"
 
 # GRAFT_VERIFY_STRICT=1: a float pair that matches only via the 1e-9
 # slack (and is not a mispairing of bit-identical rows) FAILS the gate

@@ -570,6 +570,60 @@ object DedupQueries {
              |  round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
              |        / count(*), 6) AS dup_ratio
              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "per-doc duplicate-paragraph ratio — q99's corpus-wide digest counts folded back onto each document (digest-partitioned window, one shuffle) as the keep/drop boilerplate signal")
+      doc = "per-doc duplicate-paragraph ratio — q99's corpus-wide digest counts folded back onto each document (digest-partitioned window, one shuffle) as the keep/drop boilerplate signal"),
+
+    // ---- incremental dedup (new batch vs standing corpus index) ---------
+    GQuery("q103_incremental_dedup",
+      (s, d) => {
+        // The production ingest shape: a new crawl (odd doc_ids here) is
+        // probed against the STANDING corpus index (even doc_ids) — the
+        // corpus is never re-deduped per batch. Engine: xxhash64
+        // row-local minhash on both sides (bucket keys agree with no
+        // shared dictionary), 24×3 banding (q87's operating point, miss
+        // ≈ 2.9e-5/pair at s=0.9), batch side BROADCAST so the index
+        // never shuffles at probe time. Oracle: the q87 claim pattern —
+        // every true cross-side Jaccard ≥ 0.9 pair must be among the
+        // probe's candidates (caught TRUE), with the truth set and its
+        // Jaccard values recomputed by DuckDB.
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val cands = Dedup.incrementalCandidates(
+          Dedup.minhashBucketsRowLocal(corpus, "doc_id", "text",
+            n = 3, numHashes = 24, rowsPerBand = 3),
+          Dedup.minhashBucketsRowLocal(batch, "doc_id", "text",
+            n = 3, numHashes = 24, rowsPerBand = 3),
+          "doc_id")
+        val odd = pmod(col("id_a"), lit(2)) === 1
+        val truth = Dedup
+          .jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3),
+            "doc_id", maxDf = 1000L)
+          .filter(col("jaccard") >= 0.9)
+          .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+          .select(
+            when(odd, col("id_a")).otherwise(col("id_b")).as("new_id"),
+            when(odd, col("id_b")).otherwise(col("id_a")).as("old_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+        truth
+          .join(cands.withColumn("caught", lit(true)),
+            Seq("new_id", "old_id"), "left")
+          .select(col("new_id"), col("old_id"), col("jaccard"),
+            coalesce(col("caught"), lit(false)).as("caught"))
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"""WITH $ShinglesCte
+              |$PairsCte
+              |SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END
+              |         AS new_id,
+              |  CASE WHEN id_a % 2 = 1 THEN id_b ELSE id_a END AS old_id,
+              |  round(c*1.0/(na.n + nb.n - c), 6) AS jaccard,
+              |  TRUE AS caught
+              |FROM pairs
+              |JOIN sizes na ON id_a = na.doc_id
+              |JOIN sizes nb ON id_b = nb.doc_id
+              |WHERE c*1.0/(na.n + nb.n - c) >= 0.9
+              |  AND (id_a % 2) <> (id_b % 2)
+              |ORDER BY new_id, old_id""".stripMargin),
+      doc = "incremental dedup — new-batch-vs-standing-index probe (the production ingest shape: the corpus is never re-deduped per crawl): dictionary-free xxhash64 minhash on both sides, 24x3 banding, batch side broadcast so the index never shuffles at probe time; oracle-checked claim that every true cross-side Jaccard>=0.9 pair is caught, truth values recomputed by DuckDB")
   )
 }

@@ -250,6 +250,24 @@ object Dedup {
     * count and both self-join sides — scans the cache: the expensive
     * lineage above it (shingles → dictionary → signature aggregation)
     * runs exactly once, not once per consumer. */
+  /** Incremental near-dup probe — the PRODUCTION dedup shape at corpus
+    * scale: a new crawl batch is probed against the STANDING corpus
+    * LSH index instead of re-deduping the whole corpus per ingest. Both
+    * sides carry the same banding (the dictionary-free xxhash64 path
+    * makes their bucket keys agree with no shared state), and the join
+    * BROADCASTS the batch side — a crawl batch is tiny next to a 100 TB
+    * index, so the index never shuffles at probe time (it is written
+    * bucket-partitioned once at build). Output: distinct (new_id,
+    * old_id) candidate pairs; verify with true Jaccard downstream. */
+  def incrementalCandidates(corpusBuckets: DataFrame,
+                            batchBuckets: DataFrame,
+                            idCol: String): DataFrame =
+    corpusBuckets
+      .select(col("band"), col("bucket"), col(idCol).as("old_id"))
+      .join(broadcast(batchBuckets.select(col("band"), col("bucket"),
+        col(idCol).as("new_id"))), Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id")).distinct()
+
   def minhashCandidates(buckets: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
     // borrowed, not taken: a caller-held cache on `buckets` is reused

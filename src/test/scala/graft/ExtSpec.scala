@@ -476,6 +476,25 @@ class ExtSpec extends AnyFunSuite {
     TextAnalysis.epochShuffle(d, "doc_id", "s", hexWidth = 7)
   }
 
+  test("incrementalCandidates: planted cross-side dup caught, " +
+    "batch side broadcasts") {
+    val corpus = docs(
+      0L -> "x y z w q r s t u v",
+      2L -> "totally different corpus tokens living here now ok")
+    val batch = docs(1L -> "x y z w q r s t u v") // exact copy of doc 0
+    val out = Dedup.incrementalCandidates(
+      Dedup.minhashBucketsRowLocal(corpus, "doc_id", "text", 3, 24, 3),
+      Dedup.minhashBucketsRowLocal(batch, "doc_id", "text", 3, 24, 3),
+      "doc_id")
+    // identical docs share every minhash -> every band collides
+    assert(out.select("new_id", "old_id").as[(Long, Long)]
+      .collect().toSet == Set((1L, 0L)))
+    // the scale claim: the BATCH side broadcasts — the standing index
+    // must never shuffle at probe time
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("bigramLm: exact hand-computed smoothed log-probs, " +
     "single-token docs drop out") {
     // corpus: c(a,b)=3, c(b,a)=1; first-word counts a=3, b=1; V=3
