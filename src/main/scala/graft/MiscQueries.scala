@@ -826,6 +826,75 @@ object MiscQueries {
              |  CAST(count(*) FILTER (WHERE n_nationkey % 5 != 0) AS BIGINT) AS n_region_parsed,
              |  TRUE AS drop_parity
              |FROM nation""".stripMargin),
-      doc = "S1 tolerant CSV ingest over a dirty file: PERMISSIVE quarantines malformed rows in _corrupt_record (clean/corrupt split oracle-checked), DROPMALFORMED row-count parity proven in the same result (reference datacleaning.py:26 — its inferSchema ingest had no dirt story)")
+      doc = "S1 tolerant CSV ingest over a dirty file: PERMISSIVE quarantines malformed rows in _corrupt_record (clean/corrupt split oracle-checked), DROPMALFORMED row-count parity proven in the same result (reference datacleaning.py:26 — its inferSchema ingest had no dirt story)"),
+
+    // ---- JSONL tolerant ingest (the crawl-delivery format) ---------------
+    GQuery("q104_jsonl_scan",
+      (s, d) => {
+        // JSON-lines ingest with explicit schema + PERMISSIVE dirt
+        // quarantine — the delivery format real crawl/training corpora
+        // arrive in. Staged deterministically from the fixture (40 docs
+        // via to-JSON escaping shared with the bench artifacts'
+        // JsonEscape) plus 2 planted malformed lines, so the oracle
+        // recomputes every valid row from the documents table and pins
+        // the corrupt count from the planting rule alone (the q86/q92
+        // pattern). Two JSON-reader subtleties pinned here: PERMISSIVE
+        // keeps PARTIALLY-parsed fields (the truncated planted line
+        // retains doc_id=999 alongside its _corrupt_record — so corrupt
+        // rows must be identified by _corrupt_record alone, never by a
+        // null-field heuristic), and a subtree whose only live column is
+        // the corrupt record is DISALLOWED for JSON even when a sibling
+        // aggregate references data columns (QUERY_ONLY_CORRUPT_RECORD_
+        // COLUMN — stricter than q86's CSV shape), so the corrupt count
+        // is derived restriction-free as raw line count MINUS parsed-
+        // valid count (text source vs JSON source — also the stronger
+        // honesty claim: a reader that silently EATS lines, not just
+        // quarantines them, breaks the subtraction).
+        val path = stageJsonlDocs(s, d)
+        val parsed = s.read
+          .schema("doc_id LONG, text STRING, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+        val valid = parsed
+          .filter(col("_corrupt_record").isNull)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        // count(doc_id), not count(1): a bare count prunes every data
+        // column off the valid subtree, leaving _corrupt_record as the
+        // scan's only live column — the restricted shape again (valid
+        // rows are well-formed, so count(doc_id) == count(*))
+        val corrupt = s.read.text(path).agg(count(lit(1)).as("__total"))
+          .crossJoin(broadcast(valid.agg(count(col("doc_id")).as("__valid"))))
+          .select(lit(-1L).as("doc_id"), lit("corrupt").as("content_hash"),
+            (col("__total") - col("__valid")).cast("long").as("n_tokens"))
+        valid.union(corrupt).orderBy("doc_id")
+      },
+      Some("""SELECT CAST(-1 AS BIGINT) AS doc_id,
+             |  'corrupt' AS content_hash, CAST(2 AS BIGINT) AS n_tokens
+             |UNION ALL
+             |SELECT doc_id, md5(text) AS content_hash,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+      doc = "S1 JSONL tolerant ingest — explicit schema + PERMISSIVE corrupt-record quarantine over a staged JSON-lines corpus sample with 2 planted malformed lines: every valid row's content hash + token count recomputed by DuckDB from the source table, the corrupt count pinned by the planting rule (a -1 sentinel row), so a reader that silently drops or mangles dirt reads red")
   )
+
+  /** Stage a bounded 40-doc JSONL sample (one JSON object per line) plus
+    * two planted malformed lines; write-once per JVM+sf via Staging. */
+  private def stageJsonlDocs(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val tmp = Staging.dir("jsonl", d)
+    val dir = java.nio.file.Paths.get(tmp)
+    java.nio.file.Files.createDirectories(dir)
+    val lines = Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => s"""{"doc_id":${r.getLong(0)},"text":"${
+        JsonEscape.str(r.getString(1))}"}""").toSeq ++
+      Seq("""{"doc_id": 999""", "not json at all")
+    java.nio.file.Files.write(dir.resolve("docs.jsonl"),
+      String.join("\n", lines: _*)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tmp
+  }
 }

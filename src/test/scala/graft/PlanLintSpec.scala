@@ -30,6 +30,7 @@ class PlanLintSpec extends AnyFunSuite {
     "q57_clean_pipeline",         // composes the fence/mean/mode aggs above
     "q48_tfidf",                  // 1-row corpus doc-count agg
     "q102_bigram_lm",             // 1-row corpus vocab-count agg
+    "q104_jsonl_scan",            // 1-row line-count × 1-row valid-count glue
     "q66_approx_agg",             // two 1-row agg frames crossJoined
     "q51_regression_metrics",     // 1-row metric aggs
     "q52_classification_metrics", // 1-row metric aggs
