@@ -877,7 +877,36 @@ object MiscQueries {
              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
-      doc = "S1 JSONL tolerant ingest — explicit schema + PERMISSIVE corrupt-record quarantine over a staged JSON-lines corpus sample with 2 planted malformed lines: every valid row's content hash + token count recomputed by DuckDB from the source table, the corrupt count pinned by the planting rule (a -1 sentinel row), so a reader that silently drops or mangles dirt reads red")
+      doc = "S1 JSONL tolerant ingest — explicit schema + PERMISSIVE corrupt-record quarantine over a staged JSON-lines corpus sample with 2 planted malformed lines: every valid row's content hash + token count recomputed by DuckDB from the source table, the corrupt count pinned by the planting rule (a -1 sentinel row), so a reader that silently drops or mangles dirt reads red"),
+
+    // ---- ORC roundtrip (the binary columnar sink besides parquet) --------
+    GQuery("q105_orc_roundtrip",
+      (s, d) => {
+        // ORC sink + scan — the other binary columnar format a lakehouse
+        // deploy interoperates with (Spark-native, predicate-pushdown-
+        // capable like parquet). Binary-exact roundtrip by construction
+        // (no text parse), so the oracle reads the parquet source
+        // directly; the read-back applies a pushdown-eligible filter and
+        // aggregates, proving scan + filter + agg over the ORC relation
+        // — the q42 CSV shape at the columnar tier.
+        val tmp = Staging.dir("orc", d)
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .filter(col("o_totalprice") > 1000.0)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long"))
+              .as("price_cents"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             |       AS BIGINT) AS price_cents
+             |FROM orders WHERE o_totalprice > 1000.0
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "S1/S2 ORC columnar roundtrip: Spark-native ORC sink + scan with a pushdown-eligible filter and integer-cents aggregation — binary-exact by construction, oracle reads the parquet source directly (the q42 CSV roundtrip shape at the binary columnar tier)")
   )
 
   /** Stage a bounded 40-doc JSONL sample (one JSON object per line) plus
