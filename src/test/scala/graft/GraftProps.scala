@@ -315,4 +315,47 @@ object GraftProps extends Properties("graft") {
         val covered = out.flatMap { case (_, st, n, _) => st until st + n }
         startsOk && contentOk && covered.toSet == (0 until nTok).toSet
     }
+
+  property("epochShuffle: per-shard ranks are exactly 1..n, " +
+    "order deterministic for a seed, shards in range") =
+    forAll(Gen.choose(1, 60), Gen.alphaNumStr.map(_.take(8))) { (n, seed) =>
+      val df = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "t")
+      def run() = graft.ext.TextAnalysis.epochShuffle(df, "doc_id", seed)
+        .select("doc_id", "shard", "epoch_pos")
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      val a = run()
+      val ranksOk = a.groupBy(_._2).forall { case (_, rows) =>
+        rows.map(_._3).sorted == (1L to rows.size).toSeq
+      }
+      val shardsOk = a.forall(r => r._2 >= 0 && r._2 < 16)
+      ranksOk && shardsOk && run() == a
+    }
+
+  property("paragraphHashes: ceil(len/paraLen) blocks per doc, ids 0..k-1") =
+    forAll(Gen.choose(1, 80), Gen.choose(1, 8)) { (nTok, paraLen) =>
+      val df = Seq((1L, (1 to nTok).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val ids = graft.ext.Dedup.paragraphHashes(df, "doc_id", "text", paraLen)
+        .select("para_id").as[Int].collect().sorted.toSeq
+      val k = (nTok + paraLen - 1) / paraLen
+      ids == (0 until k)
+    }
+
+  property("bigramLm: n_bigrams per doc == max(len-1, 0), " +
+    "smoothed log-probs strictly negative") =
+    forAll(Gen.listOfN(4, Gen.choose(1, 12))) { lens =>
+      val df = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, (1 to n).map(t => s"w${t % 3}").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.ext.TextAnalysis.bigramLm(df, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "sum_lnp_micro")
+        .as[(Long, Long, Long)].collect().toSeq
+      val expect = lens.zipWithIndex.collect {
+        case (n, i) if n >= 2 => i.toLong -> (n - 1).toLong
+      }.toMap
+      out.map(r => r._1 -> r._2).toMap == expect &&
+        // add-one smoothing: P < 1 always (V >= 1 and c2 < c1+V), so
+        // every per-position micro is negative and so is the sum
+        out.forall(_._3 < 0)
+    }
 }
