@@ -153,27 +153,36 @@ object TextAnalysis {
     // throws — guard to an empty pair list instead
     val starts = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
       .otherwise(array().cast("array<int>"))
-    val bi = df.select(col(idCol),
-        explode(transform(starts,
-          i => struct(element_at(toks, i).as("a"),
-            element_at(toks, i + 1).as("b")))).as("bg"))
-      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    // the bigram stream fans out three ways (the two count aggregations
+    // + the scoring join's probe side): persist it once — borrowed, not
+    // taken, so a caller-held cache is reused and left intact (the
+    // jaccardPairs convention; at 100 TB the corpus scan+explode would
+    // otherwise run three times)
+    val (bi, releaseBi) = RelationalOps.borrowMaterialized(
+      df.select(col(idCol),
+          explode(transform(starts,
+            i => struct(element_at(toks, i).as("a"),
+              element_at(toks, i + 1).as("b")))).as("bg"))
+        .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b")))
     val c2 = bi.groupBy("a", "b").agg(count(lit(1)).as("c2"))
     val c1 = bi.groupBy("a").agg(count(lit(1)).as("c1"))
     val v = df.select(explode(toks).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
-    bi.join(c2, Seq("a", "b"))
-      .join(c1, Seq("a"))
-      .crossJoin(broadcast(v))
-      .withColumn("micro",
-        round(log((col("c2") + 1).cast("double") /
-          (col("c1") + col("v")).cast("double")) * 1000000, 0).cast("long"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("micro")).as("sum_lnp_micro"))
-      .withColumn("avg_lnp",
-        round(col("sum_lnp_micro").cast("double") / 1000000 /
-          col("n_bigrams"), 4))
+    val out = RelationalOps.materialized(
+      bi.join(c2, Seq("a", "b"))
+        .join(c1, Seq("a"))
+        .crossJoin(broadcast(v))
+        .withColumn("micro",
+          round(log((col("c2") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")) * 1000000, 0).cast("long"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("micro")).as("sum_lnp_micro"))
+        .withColumn("avg_lnp",
+          round(col("sum_lnp_micro").cast("double") / 1000000 /
+            col("n_bigrams"), 4)))
+    releaseBi()
+    out
   }
 
   /** Deterministic epoch shuffle (VERDICT r19 #4) — the seeded,
