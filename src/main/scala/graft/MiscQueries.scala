@@ -847,9 +847,12 @@ object MiscQueries {
         // aggregate references data columns (QUERY_ONLY_CORRUPT_RECORD_
         // COLUMN — stricter than q86's CSV shape), so the corrupt count
         // is derived restriction-free as raw line count MINUS parsed-
-        // valid count (text source vs JSON source — also the stronger
-        // honesty claim: a reader that silently EATS lines, not just
-        // quarantines them, breaks the subtraction).
+        // valid count (text source vs JSON source). Scope of that
+        // honesty claim, precisely: silent eating of a VALID line moves
+        // the subtraction (valid drops, corrupt inflates) — red; eating
+        // a CORRUPT line is indistinguishable from quarantining it by
+        // construction (the sentinel counts corrupt lines by
+        // subtraction, not by observing quarantine rows).
         val path = stageJsonlDocs(s, d)
         val parsed = s.read
           .schema("doc_id LONG, text STRING, _corrupt_record STRING")
@@ -888,8 +891,11 @@ object MiscQueries {
         // (no text parse), so the oracle reads the parquet source
         // directly; the read-back applies a pushdown-eligible filter and
         // aggregates, proving scan + filter + agg over the ORC relation
-        // — the q42 CSV shape at the columnar tier.
-        val tmp = Staging.dir("orc", d)
+        // — the q42 CSV shape at the columnar tier. Purpose string
+        // "orc_orders", NOT q62's "orc": the two queries write different
+        // schemas, and a shared path would let a deferred/held DataFrame
+        // from one read the other's overwrite (review r20 pass-3 #1).
+        val tmp = Staging.dir("orc_orders", d)
         Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").orc(tmp)
@@ -910,7 +916,9 @@ object MiscQueries {
   )
 
   /** Stage a bounded 40-doc JSONL sample (one JSON object per line) plus
-    * two planted malformed lines; write-once per JVM+sf via Staging. */
+    * two planted malformed lines. The path is stable per JVM+sf
+    * (Staging.dir); the file is REWRITTEN idempotently on every call —
+    * there is no existence guard, and at 42 lines none is needed. */
   private def stageJsonlDocs(s: org.apache.spark.sql.SparkSession,
                              d: String): String = {
     val tmp = Staging.dir("jsonl", d)

@@ -250,24 +250,6 @@ object Dedup {
     * count and both self-join sides — scans the cache: the expensive
     * lineage above it (shingles → dictionary → signature aggregation)
     * runs exactly once, not once per consumer. */
-  /** Incremental near-dup probe — the PRODUCTION dedup shape at corpus
-    * scale: a new crawl batch is probed against the STANDING corpus
-    * LSH index instead of re-deduping the whole corpus per ingest. Both
-    * sides carry the same banding (the dictionary-free xxhash64 path
-    * makes their bucket keys agree with no shared state), and the join
-    * BROADCASTS the batch side — a crawl batch is tiny next to a 100 TB
-    * index, so the index never shuffles at probe time (it is written
-    * bucket-partitioned once at build). Output: distinct (new_id,
-    * old_id) candidate pairs; verify with true Jaccard downstream. */
-  def incrementalCandidates(corpusBuckets: DataFrame,
-                            batchBuckets: DataFrame,
-                            idCol: String): DataFrame =
-    corpusBuckets
-      .select(col("band"), col("bucket"), col(idCol).as("old_id"))
-      .join(broadcast(batchBuckets.select(col("band"), col("bucket"),
-        col(idCol).as("new_id"))), Seq("band", "bucket"))
-      .select(col("new_id"), col("old_id")).distinct()
-
   def minhashCandidates(buckets: DataFrame, idCol: String,
                         maxBucketSize: Int = 1000): DataFrame = {
     // borrowed, not taken: a caller-held cache on `buckets` is reused
@@ -286,6 +268,44 @@ object Dedup {
         .select("id_a", "id_b").distinct())
     releaseBk()
     out
+  }
+
+
+  /** Incremental near-dup probe — the PRODUCTION dedup shape at corpus
+    * scale: a new crawl batch is probed against the STANDING corpus
+    * LSH index instead of re-deduping the whole corpus per ingest. Both
+    * sides carry the same banding (the dictionary-free xxhash64 path
+    * makes their bucket keys agree with no shared state), and the join
+    * BROADCASTS the batch side. CONTRACT: the batch must be the
+    * broadcast-sized side — that is the operator's definition (a crawl
+    * batch vs a 100 TB index; the index never shuffles at probe time,
+    * it is written bucket-partitioned once at build). A batch that
+    * grows with the corpus belongs in [[minhashCandidates]] over the
+    * union instead. Corpus-side buckets larger than `maxBucketSize`
+    * are dropped BEFORE the join (the same boilerplate guard as
+    * minhashCandidates — one all-identical-header bucket would
+    * otherwise emit |corpus∩bucket|·|batch∩bucket| rows; review r20
+    * pass-3 #2). Output: distinct (new_id, old_id) candidate pairs;
+    * verify with true Jaccard downstream. */
+  def incrementalCandidates(corpusBuckets: DataFrame,
+                            batchBuckets: DataFrame,
+                            idCol: String,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val corpus = corpusBuckets
+      .select(col("band"), col("bucket"), col(idCol).as("old_id"))
+    // the OVERSIZED-bucket list is tiny by construction (boilerplate
+    // buckets are few in distinct count), so a broadcast anti join
+    // prunes them without shuffling the index — the jaccardPairs stop-
+    // list convention; a production deploy would precompute bucket
+    // sizes at index-build time and skip this aggregation pass
+    val stop = corpus.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select("band", "bucket")
+    corpus.join(stop, Seq("band", "bucket"), "left_anti")
+      .join(broadcast(batchBuckets.select(col("band"), col("bucket"),
+        col(idCol).as("new_id"))), Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id")).distinct()
   }
 
   /** 16-bit SimHash from per-doc distinct token ids: bit b of token t is

@@ -97,6 +97,13 @@ class PlanLintSpec extends AnyFunSuite {
     // where the per-file min/max footer stats make it skip whole files
     val q70 = planOf("q70_range_cluster")
     assertSome(q70, "PushedFilters", "q70", "l_shipdate")
+
+    // q105: the price filter must reach the ORC scan — the query's one
+    // claim beyond q62's sink/scan shape is columnar-tier pushdown, so
+    // it is gated here, not just observed once (review r20 pass-3 #3)
+    val q105 = planOf("q105_orc_roundtrip")
+    assertSome(q105, "PushedFilters", "q105",
+      "GreaterThan(o_totalprice,1000.0)")
   }
 
   test("no CartesianProduct anywhere; BNLJ only with bounded broadcast " +
