@@ -278,8 +278,11 @@ object Dedup {
     * makes their bucket keys agree with no shared state), and the join
     * BROADCASTS the batch side. CONTRACT: the batch must be the
     * broadcast-sized side — that is the operator's definition (a crawl
-    * batch vs a 100 TB index; the index never shuffles at probe time,
-    * it is written bucket-partitioned once at build). A batch that
+    * batch vs a 100 TB index; no probe JOIN ever shuffles index rows —
+    * batch and stop list are both broadcast, and the index is written
+    * bucket-partitioned once at build; the guard's size aggregation
+    * shuffles bucket-key partials once, which a production deploy
+    * skips by precomputing sizes at index build). A batch that
     * grows with the corpus belongs in [[minhashCandidates]] over the
     * union instead. Corpus-side buckets larger than `maxBucketSize`
     * are dropped BEFORE the join (the same boilerplate guard as
@@ -291,21 +294,31 @@ object Dedup {
                             batchBuckets: DataFrame,
                             idCol: String,
                             maxBucketSize: Int = 1000): DataFrame = {
-    val corpus = corpusBuckets
-      .select(col("band"), col("bucket"), col(idCol).as("old_id"))
+    // two consumers of the corpus lineage (the size aggregation + the
+    // anti-join probe side): borrow-persist it so the expensive index
+    // lineage runs once, not twice (the jaccardPairs convention)
+    val (corpus, releaseC) = RelationalOps.borrowMaterialized(
+      corpusBuckets
+        .select(col("band"), col("bucket"), col(idCol).as("old_id")))
     // the OVERSIZED-bucket list is tiny by construction (boilerplate
-    // buckets are few in distinct count), so a broadcast anti join
-    // prunes them without shuffling the index — the jaccardPairs stop-
-    // list convention; a production deploy would precompute bucket
-    // sizes at index-build time and skip this aggregation pass
+    // buckets are few in distinct count) — broadcast it EXPLICITLY so
+    // the anti join never shuffles index rows (size-only estimates over
+    // an aggregate are far above the broadcast threshold at scale, so
+    // an unhinted plan would SMJ-shuffle the whole index). The size
+    // aggregation itself shuffles bucket-key partials once; a
+    // production deploy precomputes bucket sizes at index-build time
+    // and skips that pass entirely.
     val stop = corpus.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
       .select("band", "bucket")
-    corpus.join(stop, Seq("band", "bucket"), "left_anti")
-      .join(broadcast(batchBuckets.select(col("band"), col("bucket"),
-        col(idCol).as("new_id"))), Seq("band", "bucket"))
-      .select(col("new_id"), col("old_id")).distinct()
+    val out = RelationalOps.materialized(
+      corpus.join(broadcast(stop), Seq("band", "bucket"), "left_anti")
+        .join(broadcast(batchBuckets.select(col("band"), col("bucket"),
+          col(idCol).as("new_id"))), Seq("band", "bucket"))
+        .select(col("new_id"), col("old_id")).distinct())
+    releaseC()
+    out
   }
 
   /** 16-bit SimHash from per-doc distinct token ids: bit b of token t is

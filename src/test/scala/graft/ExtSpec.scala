@@ -489,10 +489,23 @@ class ExtSpec extends AnyFunSuite {
     // identical docs share every minhash -> every band collides
     assert(out.select("new_id", "old_id").as[(Long, Long)]
       .collect().toSet == Set((1L, 0L)))
-    // the scale claim: the BATCH side broadcasts — the standing index
-    // must never shuffle at probe time
+    // the scale claim: the BATCH side broadcasts — no probe join may
+    // shuffle index rows
     assert(out.queryExecution.executedPlan.toString
       .contains("BroadcastHashJoin"))
+    // the boilerplate-bucket guard: an oversized corpus bucket is
+    // pruned BEFORE the probe. Three identical corpus docs put 3
+    // members in every one of their buckets; maxBucketSize = 2 must
+    // drop them all (no candidates), the default must catch all three.
+    val corpus3 = docs(0L -> "x y z w q r s t u v",
+      2L -> "x y z w q r s t u v", 4L -> "x y z w q r s t u v")
+    def probe(cap: Int) = Dedup.incrementalCandidates(
+      Dedup.minhashBucketsRowLocal(corpus3, "doc_id", "text", 3, 24, 3),
+      Dedup.minhashBucketsRowLocal(batch, "doc_id", "text", 3, 24, 3),
+      "doc_id", maxBucketSize = cap)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(probe(2) == Set.empty)
+    assert(probe(1000) == Set((1L, 0L), (1L, 2L), (1L, 4L)))
   }
 
   test("bigramLm: exact hand-computed smoothed log-probs, " +
