@@ -580,9 +580,10 @@ object DedupQueries {
         // corpus is never re-deduped per batch. Engine: xxhash64
         // row-local minhash on both sides (bucket keys agree with no
         // shared dictionary), 24×3 banding (q87's operating point, miss
-        // ≈ 2.9e-5/pair at s=0.9), batch + stop-list sides BROADCAST so
-        // no probe join shuffles index rows (the guard's one size-
-        // aggregation pass is precomputed at index build in production). Oracle: the q87 claim pattern —
+        // ≈ 2.9e-5/pair at s=0.9), batch probe side BROADCAST and the
+        // tiny stop list broadcast-eligible via AQE (the guard's one
+        // size-aggregation pass is precomputed at index build in
+        // production). Oracle: the q87 claim pattern —
         // every true cross-side Jaccard ≥ 0.9 pair must be among the
         // probe's candidates (caught TRUE), with the truth set and its
         // Jaccard values recomputed by DuckDB.
@@ -625,6 +626,6 @@ object DedupQueries {
               |WHERE c*1.0/(na.n + nb.n - c) >= 0.9
               |  AND (id_a % 2) <> (id_b % 2)
               |ORDER BY new_id, old_id""".stripMargin),
-      doc = "incremental dedup — new-batch-vs-standing-index probe (the production ingest shape: the corpus is never re-deduped per crawl): dictionary-free xxhash64 minhash on both sides, 24x3 banding, batch + oversized-bucket stop-list sides broadcast so no probe join shuffles index rows (the cap's size pass is precomputed at index build in production); oracle-checked claim that every true cross-side Jaccard>=0.9 pair is caught, truth values recomputed by DuckDB")
+      doc = "incremental dedup — new-batch-vs-standing-index probe (the production ingest shape: the corpus is never re-deduped per crawl): dictionary-free xxhash64 minhash on both sides, 24x3 banding, batch probe side broadcast, oversized-bucket cap via a broadcast-eligible stop-list anti join (the cap's size pass is precomputed at index build in production); oracle-checked claim that every true cross-side Jaccard>=0.9 pair is caught, truth values recomputed by DuckDB")
   )
 }

@@ -278,11 +278,12 @@ object Dedup {
     * makes their bucket keys agree with no shared state), and the join
     * BROADCASTS the batch side. CONTRACT: the batch must be the
     * broadcast-sized side — that is the operator's definition (a crawl
-    * batch vs a 100 TB index; no probe JOIN ever shuffles index rows —
-    * batch and stop list are both broadcast, and the index is written
-    * bucket-partitioned once at build; the guard's size aggregation
-    * shuffles bucket-key partials once, which a production deploy
-    * skips by precomputing sizes at index build). A batch that
+    * batch vs a 100 TB index): the batch probe join is an explicit
+    * broadcast, the tiny stop-list anti join is broadcast-eligible
+    * (AQE converts at runtime — never a forced driver collect), and
+    * the index is written bucket-partitioned once at build; the
+    * guard's size aggregation shuffles bucket-key partials once, which
+    * a production deploy skips by precomputing sizes at index build. A batch that
     * grows with the corpus belongs in [[minhashCandidates]] over the
     * union instead. Corpus-side buckets larger than `maxBucketSize`
     * are dropped BEFORE the join (the same boilerplate guard as
@@ -295,25 +296,29 @@ object Dedup {
                             idCol: String,
                             maxBucketSize: Int = 1000): DataFrame = {
     // two consumers of the corpus lineage (the size aggregation + the
-    // anti-join probe side): borrow-persist it so the expensive index
-    // lineage runs once, not twice (the jaccardPairs convention)
-    val (corpus, releaseC) = RelationalOps.borrowMaterialized(
-      corpusBuckets
-        .select(col("band"), col("bucket"), col(idCol).as("old_id")))
+    // anti-join probe side): borrow-persist the CALLER's frame — not a
+    // local projection of it, which would never match a caller-held
+    // cache — so the expensive index lineage runs once, not twice, and
+    // a cache held across several probe batches is reused intact (the
+    // jaccardPairs convention)
+    val (cached, releaseC) = RelationalOps.borrowMaterialized(corpusBuckets)
+    val corpus = cached
+      .select(col("band"), col("bucket"), col(idCol).as("old_id"))
     // the OVERSIZED-bucket list is tiny by construction (boilerplate
-    // buckets are few in distinct count) — broadcast it EXPLICITLY so
-    // the anti join never shuffles index rows (size-only estimates over
-    // an aggregate are far above the broadcast threshold at scale, so
-    // an unhinted plan would SMJ-shuffle the whole index). The size
-    // aggregation itself shuffles bucket-key partials once; a
-    // production deploy precomputes bucket sizes at index-build time
-    // and skips that pass entirely.
+    // buckets are few in distinct count), so the anti join is
+    // broadcast-eligible; deliberately UNHINTED — AQE converts from
+    // runtime stats when the list is genuinely tiny, and a degenerate
+    // cap that inflates it degrades to a shuffled anti join instead of
+    // a forced driver collect (the trimLowImportance / jaccardPairs
+    // convention). The size aggregation itself shuffles bucket-key
+    // partials once; a production deploy precomputes bucket sizes at
+    // index-build time and skips that pass entirely.
     val stop = corpus.groupBy("band", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
       .select("band", "bucket")
     val out = RelationalOps.materialized(
-      corpus.join(broadcast(stop), Seq("band", "bucket"), "left_anti")
+      corpus.join(stop, Seq("band", "bucket"), "left_anti")
         .join(broadcast(batchBuckets.select(col("band"), col("bucket"),
           col(idCol).as("new_id"))), Seq("band", "bucket"))
         .select(col("new_id"), col("old_id")).distinct())
