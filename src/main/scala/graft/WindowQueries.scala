@@ -212,6 +212,41 @@ object WindowQueries {
              |      FROM events)
              |WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
              |ORDER BY user_id, t, event_id""".stripMargin),
-      doc = "analytic window family (lag/lead/ntile/percent_rank/cume_dist/running sum) fused into ONE WindowExec pass — a single user_id shuffle serves all six, no global sort")
+      doc = "analytic window family (lag/lead/ntile/percent_rank/cume_dist/running sum) fused into ONE WindowExec pass — a single user_id shuffle serves all six, no global sort"),
+
+    // ---- streaming-in-the-oracle-gate (a REAL readStream run) ------------
+    GQuery("q106_stream_batch_parity",
+      (s, d) => {
+        // The r20 streaming promotion: every prior round proved
+        // batch/stream agreement only in env-gated suites — this entry
+        // runs the ACTUAL Structured Streaming pipeline (readStream →
+        // watermark → tumbling agg → Append memory sink) to completion
+        // under Trigger.AvailableNow, so the driver's DuckDB gate
+        // value-checks a real streaming execution every round. Append
+        // emits exactly the windows whose end the final watermark
+        // passed: watermark = max event time (ms, floored) − 2h,
+        // boundary INCLUSIVE — pinned empirically by StreamParitySpec's
+        // crafted-tie fixture and encoded as the oracle's inequality.
+        // Sink names are per-invocation (the memory sink registers a
+        // temp view; bench runs fn repeatedly) — each holds only the
+        // small closed-window aggregate.
+        val sink = s"q106_sink_${System.nanoTime()}"
+        val q = graft.streaming.StreamingWindows
+          .runTumblingAvailableNow(s, d, sink)
+        q.awaitTermination()
+        s.table(sink).orderBy("w_start", "event_type")
+      },
+      Some("""WITH wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT)
+             |              - 7200000 AS wm_ms FROM events),
+             |b AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+             |        AS w_start, event_type,
+             |        CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+             |             AS BIGINT) AS sum_value_cents
+             |      FROM events GROUP BY 1, 2)
+             |SELECT b.* FROM b, wm
+             |WHERE (b.w_start + 3600) * 1000 <= wm.wm_ms
+             |ORDER BY w_start, event_type""".stripMargin),
+      doc = "streaming brought INTO the oracle gate: a real readStream -> watermark -> tumbling-agg -> Append-sink pipeline runs to completion (Trigger.AvailableNow, watermark-flush batch included) and its emitted closed-window set is value-checked against DuckDB's batch recomputation restricted by the exact eviction inequality (window end <= max-event-time-ms - 2h, boundary inclusive — pinned by StreamParitySpec)")
   )
 }

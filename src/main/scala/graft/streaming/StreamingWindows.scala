@@ -40,6 +40,24 @@ object StreamingWindows {
       .start()
   }
 
+  /** Bounded run of the tumbling stream: Trigger.AvailableNow processes
+    * every available file, runs the watermark-flush (no-data) batch, and
+    * STOPS — so a registered query can await termination and read a
+    * deterministic closed-window set from the memory sink (q106 brings
+    * streaming into the driver's oracle gate this way; the env-gated
+    * suites keep the long-running ProcessingTime form). Append mode:
+    * exactly the windows whose end the final watermark passed are in
+    * the sink — max(ts) − 2h, ms precision. */
+  def runTumblingAvailableNow(spark: SparkSession, dir: String,
+                              queryName: String): StreamingQuery = {
+    val events = eventsStream(spark, dir)
+    val agg = tumblingAgg(events.withWatermark("ts", "2 hours"))
+    agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Custom per-key state: running per-user event count + last-seen epoch
     * via mapGroupsWithState — the KeyValueGroupedDataset stateful path
     * (SURVEY.md §2.8's "custom state" extension). */
