@@ -6,10 +6,14 @@ package graft
   * WITHOUT the timed runs — so the plan-regression gate
   * (`scripts/plan_gate.sh`) can run standalone, not only as a by-product
   * of a full bench. Building a query's DataFrame is planning-only for
-  * the relational registry; the eager ML-harness queries execute their
-  * fits while constructing their verdict relations, so a full stamp
-  * costs roughly the ML subtotal (~40 s at sf0.1), still far below a
-  * full bench.
+  * the relational registry; the eager queries execute while
+  * constructing their result relations — the ML-harness fits and
+  * q106's bounded streaming run — so a full stamp costs roughly the
+  * ML subtotal plus ~2 s (sf0.1), still far below a full bench. Their
+  * stamped shape is the local result relation, not the inner
+  * fit/streaming topology (same convention as the bench stamp; the
+  * streaming topology is pinned by StreamParitySpec + the env-gated
+  * suites, not the plan gate).
   *
   * A query whose construction or capture throws is OMITTED from the
   * stamp — the diff then reports it as REMOVED and exits 1, so a

@@ -228,13 +228,25 @@ object WindowQueries {
         // boundary INCLUSIVE — pinned empirically by StreamParitySpec's
         // crafted-tie fixture and encoded as the oracle's inequality.
         // Sink names are per-invocation (the memory sink registers a
-        // temp view; bench runs fn repeatedly) — each holds only the
-        // small closed-window aggregate.
+        // temp view; bench runs fn repeatedly). The sink rows are
+        // ALREADY driver-resident (that is what a memory sink is), so
+        // the view is collected into a LocalRelation and dropped —
+        // repeated runs leak neither catalog entries nor sink copies.
+        // Bounded await: a wedged stream must read as a loud per-query
+        // error in errors.json, never an indefinite gate hang.
         val sink = s"q106_sink_${System.nanoTime()}"
         val q = graft.streaming.StreamingWindows
           .runTumblingAvailableNow(s, d, sink)
-        q.awaitTermination()
-        s.table(sink).orderBy("w_start", "event_type")
+        try {
+          if (!q.awaitTermination(600000L))
+            throw new IllegalStateException(
+              "q106: streaming run did not terminate within 10 minutes")
+        } finally q.stop()
+        val sinkDf = s.table(sink)
+        val out = s.createDataFrame(sinkDf.collectAsList(), sinkDf.schema)
+          .orderBy("w_start", "event_type")
+        s.catalog.dropTempView(sink)
+        out
       },
       Some("""WITH wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT)
              |              - 7200000 AS wm_ms FROM events),

@@ -31,12 +31,21 @@ object StreamingWindows {
     * (max ts − 2h). (Complete mode would retain every window forever —
     * unbounded state at scale.) */
   def runTumblingStream(spark: SparkSession, dir: String,
-                        queryName: String): StreamingQuery = {
+                        queryName: String): StreamingQuery =
+    startTumbling(spark, dir, queryName, Trigger.ProcessingTime("1 second"))
+
+  /** ONE wiring of the tumbling pipeline (source → watermark → agg →
+    * Append memory sink) shared by both trigger modes — the env-gated
+    * ProcessingTime suites and the oracle-gated AvailableNow path must
+    * never diverge silently (review r20). */
+  private def startTumbling(spark: SparkSession, dir: String,
+                            queryName: String,
+                            trigger: Trigger): StreamingQuery = {
     val events = eventsStream(spark, dir)
     val agg = tumblingAgg(events.withWatermark("ts", "2 hours"))
     agg.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .start()
   }
 
@@ -49,14 +58,8 @@ object StreamingWindows {
     * exactly the windows whose end the final watermark passed are in
     * the sink — max(ts) − 2h, ms precision. */
   def runTumblingAvailableNow(spark: SparkSession, dir: String,
-                              queryName: String): StreamingQuery = {
-    val events = eventsStream(spark, dir)
-    val agg = tumblingAgg(events.withWatermark("ts", "2 hours"))
-    agg.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                              queryName: String): StreamingQuery =
+    startTumbling(spark, dir, queryName, Trigger.AvailableNow())
 
   /** Custom per-key state: running per-user event count + last-seen epoch
     * via mapGroupsWithState — the KeyValueGroupedDataset stateful path

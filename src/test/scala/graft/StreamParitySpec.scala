@@ -15,7 +15,7 @@ class StreamParitySpec extends AnyFunSuite {
 
   test("availableNow tumbling run: boundary tie emits (end == watermark)" +
     ", open tail held back") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_parity_")
+    val dir = TestSpark.tempDir("graft_parity_")
     try {
       // window [00:00, 01:00); max ts exactly 03:00:00
       // -> final watermark 01:00:00.000 == the window's end
