@@ -5,7 +5,9 @@
 #   usage: scripts/drift_cert.sh [sfDir]   (default /root/testdata/sf0.001)
 # Two stagings:
 #   - NANOS: events.ts rewritten to parquet TIMESTAMP(NANOS, UTC)
-#     (the pre-r14 driver shape) -> the 12 events-family oracle queries
+#     (the pre-r14 driver shape) -> the 13 events-family oracle queries
+#     (incl. q106, whose readStream source shares the footer-adaptive
+#     normalizeEventsTs path — r20)
 #   - DATE:  o_orderdate / l_shipdate rewritten to date32 -> the 4
 #     date-consuming oracle queries
 # Requires driver-side python (pyarrow + duckdb), like verify_local.py.
@@ -20,7 +22,7 @@ SF="${1:-/root/testdata/sf0.001}"
 # gate)
 export GRAFT_VERIFY_STRICT=1
 
-EVQ="q23_dropna,q27_window_tumbling,q28_window_sliding,q29_user_hourly,q53_session_window,q54_rolling_avg,q60_json_extract,q61_json_roundtrip,q63_partition_pruning,q65_asof_join,q67_band_join,q74_window_analytics"
+EVQ="q23_dropna,q27_window_tumbling,q28_window_sliding,q29_user_hourly,q53_session_window,q54_rolling_avg,q60_json_extract,q61_json_roundtrip,q63_partition_pruning,q65_asof_join,q67_band_join,q74_window_analytics,q106_stream_batch_parity"
 DTQ="q05_round_cast,q70_range_cluster,q75_scalar_functions,q89_zorder_cluster"
 
 NDIR=$(mktemp -d /tmp/sf_nanos.XXXX); DDIR=$(mktemp -d /tmp/sf_date.XXXX)
