@@ -230,9 +230,9 @@ object Bench {
     // intrinsically and qml53 alone is ~10% of total — break the fit
     // subtotal into its iterative-fit families so a driver-map swing is
     // attributable from the artifact alone (als = the checkpointed ALS
-    // fits, classifiers = the TVS/FM/LogReg/tree grid fits, other = the
-    // one-shot feature/PCA/ANN stages). als + classifiers + other ==
-    // value_mlfit by construction.
+    // fits, classifiers = the TVS/FM/LogReg/tree grid fits plus the
+    // model-IO roundtrip's LR fit, other = the one-shot feature/PCA/ANN
+    // stages). als + classifiers + other == value_mlfit by construction.
     val AlsFamily = Set("qml50_als_topk", "qml58_als_grid")
     val ClassifierFamily =
       Set("qml53_classifiers", "qml54_fmreg", "qml55_model_io")

@@ -376,14 +376,34 @@ object MlQueries {
         // (the reference's own missing-cache problem, SURVEY §4.1)
         val df = labeled(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // the harnesses evaluate eagerly (metrics are driver values), so
-        // the input can unpersist as soon as the Seq is built
-        val results = Seq(
-          Classifiers.logistic(df, "scaled_features", "buckets"),
-          Classifiers.decisionTree(df, "scaled_features", "buckets"),
-          Classifiers.randomForest(df, "scaled_features", "buckets", numTrees = 10),
-          Classifiers.fmClassification(df, "scaled_features", "buckets",
-            maxIter = 10))
+        // materialize the cache BEFORE the concurrent harnesses below:
+        // otherwise all four race to compute the same uncached lineage
+        // and each misses the others' in-flight blocks (duplicate work,
+        // not wrong results)
+        df.count()
+        // the four harnesses are INDEPENDENT eager evaluations over the
+        // same cached frame — run them as concurrent driver threads so
+        // each harness's straggler tail back-fills with the next
+        // harness's tasks (optimization guide §2.6: actions are only
+        // sequential because the driver calls them sequentially).
+        // Determinism is untouched: every split/fit is seeded per
+        // harness, nothing is shared but the immutable cached input, and
+        // the results Seq is assembled in declaration order regardless
+        // of completion order.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val results =
+          try Await.result(Future.sequence(Seq(
+            Future(Classifiers.logistic(df, "scaled_features", "buckets")),
+            Future(Classifiers.decisionTree(df, "scaled_features", "buckets")),
+            Future(Classifiers.randomForest(df, "scaled_features", "buckets",
+              numTrees = 10)),
+            Future(Classifiers.fmClassification(df, "scaled_features",
+              "buckets", maxIter = 10)))), Duration.Inf)
+          finally pool.shutdown()
         df.unpersist()
         // Oracle-checked since r19 (was rows-only): the metric VALUES are
         // fitted-model outputs (and near-chance on this fixture — the

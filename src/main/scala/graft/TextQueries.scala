@@ -432,7 +432,7 @@ object TextQueries {
              |  round(CAST(sum(micro) AS DOUBLE) / 1000000 / count(*), 4)
              |    AS avg_lnp
              |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
-      doc = "corpus-trained bigram-LM quality score (perplexity filtering): add-one-smoothed P(b|a), per-doc mean log-prob — row-local bigram stream, two count aggregations, two shuffle-parallel joins + broadcast vocab count; each position's ln P is rounded to integer micros BEFORE the per-doc sum (the money-cents pattern) so the cross-engine sum is order-independent and exact")
+      doc = "corpus-trained bigram-LM quality score (perplexity filtering): add-one-smoothed P(b|a), per-doc mean log-prob — row-local bigram stream pre-aggregated to (doc, a, b, n) counts in ONE map-side-combined pass (r21: the stream shuffles once, not three times; c2/c1 are exact integer rollups of those counts and the model join probes the pre-aggregated frame, so ln P is computed once per distinct bigram); each position's ln P is rounded to integer micros BEFORE the per-doc sum (the money-cents pattern) so the cross-engine sum is order-independent and exact")
   )
 
   /** Stage a bounded 20-file binary corpus sample (one .bin per doc) for

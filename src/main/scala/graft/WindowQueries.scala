@@ -237,16 +237,25 @@ object WindowQueries {
         val sink = s"q106_sink_${System.nanoTime()}"
         val q = graft.streaming.StreamingWindows
           .runTumblingAvailableNow(s, d, sink)
+        // the sink view is dropped in the FINALLY (guarded — it may not
+        // exist if the stream died before its first commit): on a failed
+        // or timed-out run the uniquely-named view and its
+        // driver-resident rows would otherwise accumulate across bench
+        // re-runs of a failing query (ADVICE r20)
         try {
           if (!q.awaitTermination(600000L))
             throw new IllegalStateException(
               "q106: streaming run did not terminate within 10 minutes")
-        } finally q.stop()
-        val sinkDf = s.table(sink)
-        val out = s.createDataFrame(sinkDf.collectAsList(), sinkDf.schema)
-          .orderBy("w_start", "event_type")
-        s.catalog.dropTempView(sink)
-        out
+          val sinkDf = s.table(sink)
+          s.createDataFrame(sinkDf.collectAsList(), sinkDf.schema)
+            .orderBy("w_start", "event_type")
+        } finally {
+          try q.stop()
+          finally {
+            try s.catalog.dropTempView(sink)
+            catch { case _: Throwable => () }
+          }
+        }
       },
       Some("""WITH wm AS (SELECT CAST(epoch_ms(max(ts)) AS BIGINT)
              |              - 7200000 AS wm_ms FROM events),

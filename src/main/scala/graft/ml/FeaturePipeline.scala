@@ -27,14 +27,24 @@ object FeaturePipeline {
     * the last category, the collinearity-safe regression convention. */
   def indexAndOneHot(df: DataFrame, cols: Seq[String],
                      dropLast: Boolean = true): DataFrame = {
-    val indexers = cols.map(c => new StringIndexer()
-      .setInputCol(c).setOutputCol(s"${c}_idx")
-      .setStringOrderType("frequencyDesc").setHandleInvalid("skip"))
+    // ONE multi-column StringIndexer, not one indexer per column: the
+    // fit is a single counting pass over the input covering every
+    // column, where chained per-column stages each ran their own
+    // full-data aggregation (Pipeline fits stages sequentially — k
+    // columns cost k passes). Dictionaries are identical: frequencyDesc
+    // ranks each column independently either way, and with no invalid
+    // rows the fit data is the same frame. (With invalids, multi-col is
+    // the more correct shape too — a chained indexer's skip would
+    // silently shrink the NEXT column's fit data.)
+    val indexer = new StringIndexer()
+      .setInputCols(cols.toArray)
+      .setOutputCols(cols.map(c => s"${c}_idx").toArray)
+      .setStringOrderType("frequencyDesc").setHandleInvalid("skip")
     val ohe = new OneHotEncoder()
       .setInputCols(cols.map(c => s"${c}_idx").toArray)
       .setOutputCols(cols.map(c => s"${c}_vec").toArray)
       .setDropLast(dropLast)
-    new Pipeline().setStages((indexers :+ ohe).toArray).fit(df).transform(df)
+    new Pipeline().setStages(Array(indexer, ohe)).fit(df).transform(df)
   }
 
   /** M3+M4: assemble numeric columns and scale to [0,1]

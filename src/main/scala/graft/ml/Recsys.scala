@@ -94,7 +94,11 @@ object Recsys {
         .addGrid(als.regParam, regParams.toArray).build()
       val ev = new RegressionEvaluator().setMetricName("rmse")
         .setLabelCol(ratingCol).setPredictionCol("prediction")
-      val best = Classifiers.tvsGrid(als, grid, ev, train)
+      // parallelism 1: each ALS fit is already a wide, cache- and
+      // shuffle-heavy parallel job — concurrent ALS fits contend for
+      // executor memory/cores instead of back-filling (measured 18.1s
+      // at parallelism 4 vs 10.4s sequential on the bench grid)
+      val best = Classifiers.tvsGrid(als, grid, ev, train, parallelism = 1)
       val pred = best.transform(test)
       // both evaluate() calls are actions: by the time GridResult exists
       // the metrics are plain scalars and nothing downstream can ever

@@ -11,7 +11,7 @@ class RegistrySpec extends AnyFunSuite {
     assert(names.forall(_.matches("q(ml)?[0-9]+_[a-z0-9_]+")))
   }
 
-  test("every query carries a DuckDB oracle (109/109 since r20)") {
+  test("every query carries a DuckDB oracle (all of them, since r20)") {
     val noOracle = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name)
     // r20 retired the last rows-only entry (qml51): the registry is
     // fully oracle-checked and must never regress to a weaker check
