@@ -62,15 +62,27 @@ object MetricsQueries {
           round(avg((col("y") === col("pred")).cast("double")), 4).as("accuracy"))
         // Mann–Whitney AUC with average ranks: rank every row by score
         // (distributed sort + zipWithIndex), average ranks within tied
-        // scores (makes the tiebreak irrelevant), sum over positives
+        // scores (makes the tiebreak irrelevant), sum over positives.
+        // r21 shape: ONE group-level aggregation instead of re-joining
+        // the per-row rank frame onto its own score groups — the old
+        // shape consumed `ranked` twice (zipWithRank re-runs its
+        // reduce-side sort per consumer) and shuffled every row through
+        // a score join. Exactly equal by construction: Σ_{rows,y=1}
+        // arank = Σ_groups npos_g·arank_g, and every term is EXACT in
+        // double — arank is the mean of consecutive integer ranks (an
+        // integer or half-integer, exactly representable), npos_g an
+        // integer, and all sums stay far below 2^53 — so the bit-exact
+        // oracle hash is unchanged, not merely close.
         val ranked = RelationalOps.zipWithRank(li,
           Seq(col("score"), col("l_orderkey"), col("l_linenumber")), "rn")
-        val avgRanks = ranked.groupBy("score").agg(avg(col("rn")).as("arank"))
-        val auc = ranked.join(avgRanks, Seq("score"))
+        val auc = ranked.groupBy("score")
+          .agg(avg(col("rn")).as("arank"),
+            sum(col("y")).as("npos_g"),
+            count(lit(1)).as("n_g"))
           .agg(
-            sum(when(col("y") === 1.0, col("arank")).otherwise(0.0)).as("rpos"),
-            sum(col("y")).as("npos"),
-            sum(lit(1.0) - col("y")).as("nneg"))
+            sum(col("npos_g") * col("arank")).as("rpos"),
+            sum(col("npos_g")).as("npos"),
+            sum(col("n_g") - col("npos_g")).as("nneg"))
           .select(round(
             (col("rpos") - col("npos") * (col("npos") + 1) / 2) /
               (col("npos") * col("nneg")), 6).as("roc_auc"))

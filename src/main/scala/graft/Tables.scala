@@ -171,6 +171,36 @@ object Tables {
     expr(s"`$c` div 1000 - (case when `$c` % 1000 < 0 then 1 else 0 end)")
   }
 
+  /** Underparallelized-scan remedy (optimization guide §2.5, "input
+    * skew: one huge unsplittable file … repartition immediately after
+    * the read"): the committed fixtures are single-row-group parquet
+    * files, so every scan plans ONE task and the expensive row-local
+    * compute above it (shingling, minhash banding, HOF text analysis —
+    * profiled at ~2s single-threaded for the sf0.1 corpus) runs on one
+    * core. When the scan plans fewer partitions than the session's
+    * default parallelism, spread it round-robin; at real corpus scale a
+    * parquet scan plans thousands of splits and this is a structural
+    * NO-OP (the guard never fires), so nothing here is tuned to
+    * local[32]. Round-robin repartition is retry-deterministic
+    * (sort-before-repartition is on by default — SPARK-23207).
+    *
+    * Applied ONLY where the per-row compute above the scan is heavy
+    * enough to be worth parallelizing (the 24-hash row-local minhash
+    * banding — see [[graft.ext.Dedup.minhashBucketsRowLocal]]): a
+    * blanket spread of the documents loader was measured to TAX every
+    * light consumer instead (+0.3–0.7s each on ~15 small text queries —
+    * 32 cache partitions mean 32 tasks for every downstream stage over
+    * tiny data) while only the banding-heavy queries won. The numeric
+    * tables (lineitem/orders/events/embeddings) are never spread: their
+    * float aggregates (avg/corr/stddev) change partial-merge ORDER
+    * under repartition, and the driver's hash gate is bit-exact — a
+    * 1-ulp reorder is not worth the risk for scans whose per-row
+    * compute is light. */
+  private[graft] def spreadSmallScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def documents(s: SparkSession, d: String): DataFrame =
     requireKind(table(s, d, "documents"), "documents", "text",
       "STRING") { case StringType => true; case _ => false }

@@ -53,14 +53,23 @@ object Dedup {
     * shuffle — `array_distinct` dedupes within the row BEFORE the explode,
     * so (id, shingle) rows are already unique and no distinct shuffle is
     * needed). Output: (idCol, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String,
+  def shingles(df0: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
+    val df = graft.Tables.spreadSmallScan(df0)
     val toks = split(col(textCol), " ")
+    // docs shorter than n tokens emit NO start positions, so the sub-n
+    // stub the old post-explode filter removed is never constructed —
+    // that filter RE-SPLIT every emitted shingle string to count its
+    // tokens, a second O(len) string pass per shingle that profiled at
+    // a third of the whole shingling stage (guide §1: the only rows it
+    // could ever drop are the one-per-short-doc stubs, exactly what the
+    // guarded sequence excludes). For size >= n every slice is exactly
+    // n tokens by construction, so output is identical.
+    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
     df.select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
+        explode(array_distinct(transform(starts,
           i => array_join(slice(toks, i + 1, lit(n)), " ")))).as("shingle"))
-      .filter(size(split(col("shingle"), " ")) === n)
   }
 
   /** Pairwise Jaccard over shingle sets: inverted-index self-join on the
@@ -212,18 +221,27 @@ object Dedup {
     * (id, band, bucket) output — equality is pinned by test. The
     * dictionary path cannot fuse this way (its ids need a global sort),
     * which is fine: it exists for oracle parity, not production. */
-  def minhashBucketsRowLocal(docs: DataFrame, idCol: String,
+  def minhashBucketsRowLocal(docs0: DataFrame, idCol: String,
                              textCol: String, n: Int, numHashes: Int,
                              rowsPerBand: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
         s"($rowsPerBand) — a partial band would silently drop hashes")
+    // the numHashes×|shingles| hash evaluation below is the most
+    // CPU-dense map stage in the engine (profiled ~3s single-threaded
+    // at sf0.1): spread an underparallelized scan before it (guide
+    // §2.5 — the one-row-group fixture-file case; a no-op whenever the
+    // source already plans enough splits, i.e. at any real scale)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val toks = split(col(textCol), " ")
-    val shingleArr = array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+    // same guarded-sequence construction as [[shingles]] (one source of
+    // truth for the semantics, pinned equal by OpsSpec): short docs
+    // emit no positions, so no per-shingle re-split filter is needed
+    val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val shingleArr = array_distinct(transform(starts,
       i => array_join(slice(toks, i + 1, lit(n)), " ")))
-    val sids = transform(
-      filter(shingleArr, s => size(split(s, " ")) === n),
+    val sids = transform(shingleArr,
       s => pmod(xxhash64(s), lit(MinhashPrime)))
     val mins = (0 until numHashes).map { i =>
       val (a, b) = hashParams(i)

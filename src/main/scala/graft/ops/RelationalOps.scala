@@ -366,6 +366,27 @@ object RelationalOps {
       // both the hot-key list and the per-key split points broadcast
       val hot = unionedM.groupBy(col(key)).agg(count(lit(1)).as("__n"))
         .filter(col("__n") > hotKeyThreshold).select(col(key))
+      // ADAPTIVE FAST PATH (r21): when NO key exceeds the threshold the
+      // bucket machinery is an exact no-op — every row gets __splits =
+      // null → bucket 0, the (key, 0) window IS the (key) window, and
+      // the carry join coalesces against null — so probe the hot list
+      // first (one map-side-combined count over the cache, the same
+      // aggregation the slow path needs anyway) and run the plain
+      // single-window plan over the cached union instead, skipping the
+      // split-point collect, broadcast join, per-bucket-last, spine and
+      // carry stages entirely. The armed-threshold-but-no-hot-keys case
+      // is the COMMON one (the guard exists for the tail risk); with
+      // hot keys present the machinery below is unchanged.
+      if (hot.isEmpty) {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("__t"), col("__side"), xxhash64(col("__r")))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (unionedM
+          .withColumn(out, last(col("__r"), ignoreNulls = true).over(w))
+          .filter(col("__side") === 1)
+          .select(col("__l.*"), col(out)),
+          () => { unionedM.unpersist(); () })
+      }
       val probs = array((1 until hotKeyBuckets)
         .map(i => lit(i.toDouble / hotKeyBuckets)): _*)
       // The split points are COLLECTED once and re-broadcast as a literal
