@@ -20,6 +20,9 @@ object BenchSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // (r21: KryoSerializer for the RDD-path shuffles was measured —
+      // qml50 8.5s vs 8.1s, qml58 10.9s vs 10.7s, i.e. no win at these
+      // block sizes — and deliberately NOT adopted.)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")

@@ -292,6 +292,10 @@ object DedupQueries {
     // ---- SimHash near-dup pairs -----------------------------------------
     GQuery("q33_dedup_simhash",
       (s, d) => {
+        // NOT spread (unlike Dedup.shingles): the single-token explode
+        // has no n-gram slicing, so the map stage is too light for the
+        // spread's extra exchange + per-task overhead to pay (measured
+        // 4.4s spread vs 3.7s unspread, matched pairs r21)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("shingle"))
