@@ -46,6 +46,10 @@ object MetricsQueries {
     // ---- M17/M18 analog: confusion matrix, accuracy, rank-sum ROC-AUC ---
     GQuery("q52_classification_metrics",
       (s, d) => {
+        // (r21: spreading this scan was measured — 3.9/4.6s spread vs
+        // 3.0/3.8s unspread over two matched pairs, consistently worse:
+        // the repartition costs more than the parallel partials gain at
+        // this row weight — and NOT adopted.)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_extendedprice").cast("double").as("score"),

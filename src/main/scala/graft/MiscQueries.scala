@@ -85,6 +85,10 @@ object MiscQueries {
         // CLAIM, not the value: exact results hash-compared as usual, and
         // the approximation emitted as a within-tolerance boolean the
         // oracle expects to be TRUE — a drift past the bound fails the row.
+        // (r21: spreading this scan was measured — 3.4/3.7s spread vs
+        // 3.7/2.8s unspread over two matched pairs, i.e. no reliable win:
+        // the sketch partials are lighter per byte than the shingling
+        // stages the spread does pay for — and NOT adopted.)
         val li = Tables.lineitem(s, d)
         // two 1-row aggs, not one: countDistinct is a declarative
         // Expand-rewrite while HLL/percentile are ImperativeAggregates —
