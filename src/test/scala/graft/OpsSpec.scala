@@ -734,6 +734,37 @@ class OpsSpec extends AnyFunSuite {
       s"window not bucket-partitioned:\n${planStr.take(2000)}")
   }
 
+  test("asOfJoin armed-threshold fast path (no hot keys) equals the plain " +
+    "plan and skips the bucket machinery") {
+    // r21: when the threshold is armed but NO key exceeds it (the common
+    // production case), the probe must fall back to the plain
+    // single-window plan — identical rows, no __bucket column in the
+    // executed plan, and the release thunk still owns the cached union
+    val left = spark.range(5000).select(pmod(col("id"), lit(50)).as("k"),
+      pmod(col("id") * 7, lit(100000)).as("t"), col("id").as("lv"))
+    val right = spark.range(500).select(pmod(col("id"), lit(50)).as("k"),
+        pmod(col("id") * 31, lit(100000)).as("t"), col("id").as("rv"))
+      .groupBy("k", "t").agg(max("rv").as("rv"))
+    val plain = RelationalOps.asOfJoin(left, right, "k", "t")
+      .select(col("lv"), col("asof.rv").as("rv"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // every key holds ~110 rows, far below the 100k threshold
+    val (fast, release) = RelationalOps.asOfJoinWithRelease(left, right,
+      "k", "t", "asof", hotKeyThreshold = 100000L, hotKeyBuckets = 16)
+    val f = fast.select(col("lv"), col("asof.rv").as("rv"))
+    val p = plain.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val s = f.as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(p == s && p.nonEmpty)
+    val planStr = f.queryExecution.executedPlan.toString
+    assert(!planStr.contains("__bucket"),
+      s"fast path did not skip the bucket machinery:\n${planStr.take(2000)}")
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "fast path did not persist the union — the release test is vacuous")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "fast path's release() left cached blocks behind")
+  }
+
   test("asOfJoinWithRelease: hot-key path's release drops its cached union") {
     // ADVICE r17: the hot path persists the tagged union for its five
     // consumers and the lazy result cannot release it in-method — library
